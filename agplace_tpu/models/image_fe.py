@@ -1,0 +1,107 @@
+"""Image feature extractors (reference ``network_mm/image_fe.py:10-174`` and
+``network/image_fe.py``) — truncated CNN backbones returning the final map
+plus the per-stage map list that the fusion blocks consume.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from agplace_tpu.models.resnet import ResNetFeatures
+
+
+class ConvNeXtBlock(nn.Module):
+    dim: int
+    layer_scale: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(self.dim, (7, 7), padding=3, feature_group_count=self.dim,
+                    name="dwconv")(x)
+        y = nn.LayerNorm(name="norm")(y)
+        y = nn.Dense(4 * self.dim, name="pwconv1")(y)
+        y = nn.gelu(y)
+        y = nn.Dense(self.dim, name="pwconv2")(y)
+        gamma = self.param("gamma",
+                           lambda k: jnp.full((self.dim,), self.layer_scale))
+        return x + gamma * y
+
+
+class ConvNeXtTinyFeatures(nn.Module):
+    """convnext_tiny truncated per reference semantics
+    (``image_fe.py:59-88,118-150``): stage depths clipped to ``layers`` and
+    maps collected after stages 1..3 (dims 96/192/384)."""
+
+    layers: Tuple[int, ...] = (2, 2, 2)
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        depths = (3, 3, 9, 3)
+        dims = (96, 192, 384, 768)
+        maps = []
+        # stem: 4x4 stride-4 conv + LN
+        x = nn.Conv(dims[0], (4, 4), strides=(4, 4), name="stem_conv")(x)
+        x = nn.LayerNorm(name="stem_norm")(x)
+        n_stages = min(len(self.layers), 4)
+        for s in range(n_stages):
+            if s > 0:
+                x = nn.LayerNorm(name=f"down_norm{s}")(x)
+                x = nn.Conv(dims[s], (2, 2), strides=(2, 2),
+                            name=f"down_conv{s}")(x)
+            depth = min(self.layers[s], depths[s])
+            for i in range(depth):
+                x = ConvNeXtBlock(dims[s], name=f"stage{s}_block{i}")(x)
+            maps.append(x)
+        return x, maps
+
+
+class ImageFE(nn.Module):
+    """Backbone registry keyed by the reference's ``--mm_imgfe`` /
+    ``--dbimage_fe`` flags.  ``layers`` controls truncation: len(layers)
+    stages are kept (``image_fe.py:18-44``).
+    """
+
+    fe_type: str = "resnet18"
+    layers: Tuple[int, ...] = (2, 2, 2)
+    train: bool = False
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x) -> Tuple[jnp.ndarray, Sequence[jnp.ndarray]]:
+        if self.fe_type in ("resnet18", "resnet34", "resnet50"):
+            return ResNetFeatures(
+                arch=self.fe_type,
+                num_stages=len(self.layers),
+                train=self.train,
+                axis_name=self.axis_name,
+                dtype=self.dtype,
+                name="fe",
+            )(x)
+        if self.fe_type == "convnext_tiny":
+            return ConvNeXtTinyFeatures(layers=self.layers, train=self.train,
+                                        name="fe")(x)
+        raise NotImplementedError(f"fe_type={self.fe_type}")
+
+    @staticmethod
+    def last_dim(fe_type: str, layers: Tuple[int, ...]) -> int:
+        if fe_type in ("resnet18", "resnet34", "resnet50"):
+            return ResNetFeatures.last_dim(fe_type, len(layers))
+        if fe_type == "convnext_tiny":
+            return (96, 192, 384, 768)[min(len(layers), 4) - 1]
+        raise NotImplementedError(fe_type)
+
+    @staticmethod
+    def stage_dims(fe_type: str, layers: Tuple[int, ...]):
+        n = len(layers)
+        if fe_type in ("resnet18", "resnet34"):
+            return tuple(64 * 2 ** i for i in range(n))
+        if fe_type == "resnet50":
+            return tuple(256 * 2 ** i for i in range(n))
+        if fe_type == "convnext_tiny":
+            return (96, 192, 384, 768)[:n]
+        raise NotImplementedError(fe_type)

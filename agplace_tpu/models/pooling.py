@@ -1,0 +1,277 @@
+"""2D global aggregation heads (GeM and friends).
+
+Reference equivalents: ``network_mm/image_pooling.py:8-16`` (GeM),
+``network/image_pooling.py:23-200`` (ConvAP, CosPlace, MixVPR, RRM),
+``model/functional.py:43-83`` (RMAC), ``model/aggregation.py`` (MAC/SPoC/
+NetVLAD/CRN).  All operate on NHWC feature maps and return [B, C] (or the
+aggregation's own output dim).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class GeM(nn.Module):
+    """Generalised-mean pooling with learnable exponent p (init 3):
+    ``avgpool(clamp(x, eps)^p)^(1/p)`` — ``network_mm/image_pooling.py:8-16``.
+    """
+
+    p_init: float = 3.0
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):  # [B, H, W, C] -> [B, C]
+        p = self.param("p", lambda k: jnp.ones((1,)) * self.p_init)
+        x = jnp.clip(x, min=self.eps) ** p
+        x = jnp.mean(x, axis=(1, 2))
+        return x ** (1.0 / p)
+
+
+class SPoC(nn.Module):
+    """Global average pooling (``model/aggregation.py`` SPoC)."""
+
+    @nn.compact
+    def __call__(self, x):
+        return jnp.mean(x, axis=(1, 2))
+
+
+class MAC(nn.Module):
+    """Global max pooling (``model/aggregation.py`` MAC)."""
+
+    @nn.compact
+    def __call__(self, x):
+        return jnp.max(x, axis=(1, 2))
+
+
+def _rmac_region_starts(size: int, n: int) -> jnp.ndarray:
+    """Evenly spaced region offsets, matching the reference RMAC grid
+    (``model/functional.py:43-83``)."""
+    if n <= 1:
+        return jnp.zeros((1,), jnp.int32)
+    return jnp.linspace(0, size, n, dtype=jnp.float32).astype(jnp.int32)
+
+
+class RMAC(nn.Module):
+    """Regional MAC: max-pool over a multi-scale grid of square regions,
+    L2-normalise each regional vector, and sum (``model/functional.py:43-83``).
+    Region geometry is computed statically from the (static) map shape, so
+    the whole thing stays jittable."""
+
+    levels: int = 3
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):  # [B, H, W, C]
+        import numpy as np
+
+        b, h, w, c = x.shape
+        min_hw = min(h, w)
+        v = jnp.zeros((b, c), x.dtype)
+        # Region geometry is static python math (shapes are static under jit):
+        # level-l regions are squares of side 2*min(H,W)/(l+1), laid out on a
+        # uniform grid with ~40% overlap, as in model/functional.py:43-83.
+        for level in range(1, self.levels + 1):
+            wl = int(np.floor(2 * min_hw / (level + 1)))
+            if wl == 0:
+                continue
+            n_h = level + (1 if h > w else 0)
+            n_w = level + (1 if w > h else 0)
+            hs = np.linspace(0, max(h - wl, 0), num=max(n_h, 1)).astype(int)
+            ws = np.linspace(0, max(w - wl, 0), num=max(n_w, 1)).astype(int)
+            for i0 in hs:
+                for j0 in ws:
+                    region = x[:, i0 : i0 + wl, j0 : j0 + wl, :]
+                    r = jnp.max(region, axis=(1, 2))
+                    r = r / jnp.maximum(
+                        jnp.linalg.norm(r, axis=-1, keepdims=True), self.eps
+                    )
+                    v = v + r
+        return v
+
+
+class ConvAP(nn.Module):
+    """Conv 1x1 channel projection + spatial-pooled concat
+    (``network/image_pooling.py`` ConvAP)."""
+
+    out_channels: int = 256
+    s1: int = 2
+    s2: int = 2
+
+    @nn.compact
+    def __call__(self, x):  # [B, H, W, C]
+        x = nn.Conv(self.out_channels, (1, 1), use_bias=True)(x)
+        x = nn.avg_pool(
+            x,
+            window_shape=(x.shape[1] // self.s1, x.shape[2] // self.s2),
+            strides=(x.shape[1] // self.s1, x.shape[2] // self.s2),
+        )
+        return x.reshape(x.shape[0], -1)
+
+
+class CosPlace(nn.Module):
+    """GeM -> linear projection -> L2 (``network/image_pooling.py`` CosPlace)."""
+
+    out_dim: int = 256
+
+    @nn.compact
+    def __call__(self, x):
+        v = GeM(name="gem")(x)
+        v = nn.Dense(self.out_dim, name="fc")(v)
+        return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+
+
+class FeatureMixerLayer(nn.Module):
+    dim: int
+    mlp_ratio: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):  # [B, N, D] mixes over N
+        y = nn.LayerNorm()(x)
+        y = jnp.swapaxes(y, -1, -2)
+        h = int(x.shape[-2] * self.mlp_ratio)
+        y = nn.Dense(h)(y)
+        y = nn.relu(y)
+        y = nn.Dense(x.shape[-2])(y)
+        y = jnp.swapaxes(y, -1, -2)
+        return x + y
+
+
+class MixVPR(nn.Module):
+    """MixVPR feature-mixer aggregation (``network/image_pooling.py`` MixVPR):
+    flatten spatial -> L stacked token mixers -> channel & row projections."""
+
+    in_channels: int = 256
+    out_channels: int = 256
+    mix_depth: int = 4
+    mlp_ratio: float = 1.0
+    out_rows: int = 4
+
+    @nn.compact
+    def __call__(self, x):  # [B, H, W, C]
+        b, h, w, c = x.shape
+        x = x.reshape(b, h * w, c)  # tokens = spatial sites
+        x = jnp.swapaxes(x, -1, -2)  # [B, C, N] mix over flattened spatial
+        for i in range(self.mix_depth):
+            x = FeatureMixerLayer(dim=h * w, mlp_ratio=self.mlp_ratio,
+                                  name=f"mix_{i}")(x)
+        x = jnp.swapaxes(x, -1, -2)  # [B, N, C]
+        x = nn.Dense(self.out_channels, name="channel_proj")(x)
+        x = jnp.swapaxes(x, -1, -2)  # [B, C', N]
+        x = nn.Dense(self.out_rows, name="row_proj")(x)
+        return x.reshape(b, -1)
+
+
+class RRM(nn.Module):
+    """Residual retrieval module: GAP -> conv residual block -> L2
+    (``network/image_pooling.py`` RRM)."""
+
+    dim: int = 256
+
+    @nn.compact
+    def __call__(self, x):
+        v = jnp.mean(x, axis=(1, 2))
+        h = nn.Dense(self.dim, name="fc1")(v)
+        h = nn.relu(h)
+        h = nn.Dense(self.dim, name="fc2")(h)
+        v = v + h
+        return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+
+
+class NetVLAD(nn.Module):
+    """NetVLAD with soft-assignment conv, matching
+    ``model/aggregation.py:85-174``: per-descriptor softmax over K clusters,
+    residual aggregation against centroids, intra-norm then full L2 norm.
+
+    Centroid initialisation from k-means (faiss in the reference) is provided
+    by ``init_from_kmeans`` using ``agplace_tpu.retrieval.kmeans``.
+    """
+
+    clusters_num: int = 64
+    dim: int = 256
+    work_with_tokens: bool = False
+
+    @nn.compact
+    def __call__(self, x):  # [B, H, W, C] or [B, N, C]
+        if x.ndim == 4:
+            b, h, w, c = x.shape
+            x = x.reshape(b, h * w, c)
+        b, n, c = x.shape
+        # descriptor-wise L2 norm (reference normalizes input first)
+        x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+        centroids = self.param(
+            "centroids", nn.initializers.normal(1.0), (self.clusters_num, c)
+        )
+        assign_w = self.param(
+            "assign_w", nn.initializers.lecun_normal(), (c, self.clusters_num)
+        )
+        assign_b = self.param(
+            "assign_b", nn.initializers.zeros, (self.clusters_num,)
+        )
+        soft = jax.nn.softmax(
+            jnp.dot(x, assign_w, preferred_element_type=jnp.float32)
+            + assign_b,
+            axis=-1,
+        )  # [B, N, K]
+        # vlad[b,k,c] = sum_n soft[b,n,k] * (x[b,n,c] - centroids[k,c])
+        weighted_x = jnp.einsum("bnk,bnc->bkc", soft, x)
+        counts = jnp.sum(soft, axis=1)  # [B, K]
+        vlad = weighted_x - counts[..., None] * centroids[None]
+        # intra-normalisation then global L2
+        vlad = vlad / jnp.maximum(
+            jnp.linalg.norm(vlad, axis=-1, keepdims=True), 1e-12
+        )
+        vlad = vlad.reshape(b, -1)
+        return vlad / jnp.maximum(
+            jnp.linalg.norm(vlad, axis=-1, keepdims=True), 1e-12
+        )
+
+    @staticmethod
+    def init_from_kmeans(params, centroids, alpha: float = 100.0):
+        """Set centroids + soft-assign weights from k-means clusters, matching
+        the reference init (``model/aggregation.py:120-133``):
+        w = 2*alpha*c, b = -alpha*||c||^2."""
+        import numpy as np
+
+        c = np.asarray(centroids)
+        params = dict(params)
+        params["centroids"] = jnp.asarray(c)
+        params["assign_w"] = jnp.asarray(2.0 * alpha * c.T)
+        params["assign_b"] = jnp.asarray(-alpha * (c ** 2).sum(-1))
+        return params
+
+
+class GlobalHead(nn.Module):
+    """Aggregation registry keyed by the reference's ``--aggregation`` flag."""
+
+    aggregation: str = "gem"
+    features_dim: int = 256
+    netvlad_clusters: int = 64
+
+    @nn.compact
+    def __call__(self, x):
+        agg = self.aggregation
+        if agg == "gem":
+            return GeM(name="gem")(x)
+        if agg == "spoc":
+            return SPoC(name="spoc")(x)
+        if agg == "mac":
+            return MAC(name="mac")(x)
+        if agg == "rmac":
+            return RMAC(name="rmac")(x)
+        if agg == "convap":
+            return ConvAP(self.features_dim, name="convap")(x)
+        if agg == "cosplace":
+            return CosPlace(self.features_dim, name="cosplace")(x)
+        if agg == "mixvpr":
+            return MixVPR(out_channels=self.features_dim, name="mixvpr")(x)
+        if agg == "rrm":
+            return RRM(self.features_dim, name="rrm")(x)
+        if agg == "netvlad":
+            return NetVLAD(self.netvlad_clusters, self.features_dim,
+                           name="netvlad")(x)
+        raise NotImplementedError(f"aggregation={agg}")

@@ -1,0 +1,112 @@
+"""Exact nearest-neighbour retrieval on TPU — the faiss replacement.
+
+The reference delegates all retrieval to faiss ``IndexFlatL2`` (eval:
+``/root/reference/test.py:27-32``; mining: ``datasets_ws_kitti360.py:976-993``).
+On TPU, exact L2 search is a single MXU matmul:
+
+    ||q - d||^2 = ||q||^2 + ||d||^2 - 2 q . d
+
+followed by ``jax.lax.top_k``.  Queries are processed in fixed-size blocks so
+the [Q, D] distance matrix never materialises in HBM for large galleries, and
+the gallery can be sharded over a mesh axis (see ``sharded.py``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pairwise_sq_l2(queries: jax.Array, database: jax.Array) -> jax.Array:
+    """Squared L2 distance matrix [Q, D] via one matmul (MXU path).
+
+    Clamped at zero: the expanded form can go slightly negative in floating
+    point for near-identical vectors.
+    """
+    q_sq = jnp.sum(queries * queries, axis=-1, keepdims=True)  # [Q, 1]
+    d_sq = jnp.sum(database * database, axis=-1)  # [D]
+    # HIGHEST precision: the expanded form is tie-sensitive, and the TPU
+    # matmul default would round inputs to bf16 (faiss-parity requirement).
+    cross = jnp.dot(queries, database.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    return jnp.maximum(q_sq + d_sq[None, :] - 2.0 * cross, 0.0)
+
+
+def pairwise_l2(queries: jax.Array, database: jax.Array) -> jax.Array:
+    """Euclidean distance matrix (torch.cdist equivalent,
+    compute_other_loss.py:78-81)."""
+    return jnp.sqrt(pairwise_sq_l2(queries, database))
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def l2_topk(queries: jax.Array, database: jax.Array, k: int):
+    """Exact k-NN under L2.  Returns (sq_distances [Q,k], indices [Q,k]),
+    matching ``faiss.IndexFlatL2.search`` (which also returns squared L2).
+    """
+    d2 = pairwise_sq_l2(queries, database)
+    neg, idx = jax.lax.top_k(-d2, k)
+    return -neg, idx
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def ip_topk(queries: jax.Array, database: jax.Array, k: int):
+    """Exact max-inner-product search (faiss IndexFlatIP equivalent, used by
+    the anyloc recall utility ``anyloc/utilities.py:446-456``)."""
+    sims = jnp.dot(queries, database.T, preferred_element_type=jnp.float32)
+    return jax.lax.top_k(sims, k)
+
+
+def l2_topk_blocked(
+    queries: np.ndarray,
+    database: jax.Array,
+    k: int,
+    block: int = 1024,
+):
+    """Host-driven blocked search for galleries/query sets too large for one
+    [Q, D] buffer.  Pads the final block to keep shapes static (single compile).
+    Returns numpy (distances, indices)."""
+    n = queries.shape[0]
+    out_d = np.empty((n, k), dtype=np.float32)
+    out_i = np.empty((n, k), dtype=np.int64)
+    for start in range(0, n, block):
+        stop = min(start + block, n)
+        chunk = queries[start:stop]
+        if chunk.shape[0] < block:  # pad to static shape
+            pad = np.zeros((block - chunk.shape[0], chunk.shape[1]),
+                           dtype=chunk.dtype)
+            chunk = np.concatenate([chunk, pad], axis=0)
+        d, i = l2_topk(jnp.asarray(chunk), database, k)
+        out_d[start:stop] = np.asarray(d)[: stop - start]
+        out_i[start:stop] = np.asarray(i)[: stop - start]
+    return out_d, out_i
+
+
+def radius_neighbors(points_a: np.ndarray, points_b: np.ndarray,
+                     radius: float, block: int = 4096):
+    """All indices of ``points_b`` within ``radius`` of each row of
+    ``points_a`` — the sklearn ``NearestNeighbors.radius_neighbors``
+    equivalent used for geographic ground truth
+    (``datasets_ws_kitti360.py:613-618,740-745``).
+
+    Runs blocked on whatever backend JAX has (CPU fine at these sizes);
+    returns a list of int64 arrays (variable length per query — host-side
+    only, never inside jit).
+    """
+    a = np.asarray(points_a, dtype=np.float64)
+    b = np.asarray(points_b, dtype=np.float64)
+    out = []
+    r2 = radius * radius
+    for start in range(0, a.shape[0], block):
+        chunk = a[start : start + block]
+        # [q, d] squared distances in float64 on host: UTM coords are ~1e5 m,
+        # so float32 matmul identity loses metres of precision — do it exactly.
+        diff2 = (
+            (chunk[:, None, 0] - b[None, :, 0]) ** 2
+            + (chunk[:, None, 1] - b[None, :, 1]) ** 2
+        )
+        for row in diff2 <= r2:
+            out.append(np.flatnonzero(row))
+    return out

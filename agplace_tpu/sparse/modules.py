@@ -1,0 +1,328 @@
+"""Sparse conv/norm/attention layers over ``SparseVoxels``.
+
+TPU-native equivalents of the MinkowskiEngine layers the reference voxel
+branch uses (``models/minkfpn.py``, ``layers/eca_block.py``,
+``layers/pooling.py``): generalized sparse convolution as
+gather -> GEMM -> accumulate over a precomputed neighbour table (SURVEY.md
+§2.4 plan), masked batch norm, ECA channel attention, GeM pooling.
+
+All shapes are static; all geometry runs on device (see ``voxels.py``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from agplace_tpu.sparse.voxels import (
+    SparseVoxels,
+    build_neighbor_table,
+    downsample_coords,
+    kernel_offsets,
+    lookup,
+    masked_global_avg,
+    pack_coords,
+    sort_by_key,
+)
+
+
+def gather_neighbors(feats: jax.Array, table: jax.Array, k: int) -> jax.Array:
+    """feats [B, N, C], table [B, No, K] -> neighbour features [B, No, C]
+    for offset k, zeroed where the neighbour is absent."""
+    idx = table[:, :, k]
+    safe = jnp.maximum(idx, 0)
+    g = jnp.take_along_axis(feats, safe[..., None], axis=1)
+    return jnp.where((idx >= 0)[..., None], g, 0.0)
+
+
+def sparse_conv_apply(feats: jax.Array, table: jax.Array,
+                      kernel: jax.Array) -> jax.Array:
+    """Gather-GEMM-accumulate sparse convolution.
+
+    feats [B, N, Cin], table [B, No, K], kernel [K, Cin, Cout]
+    -> [B, No, Cout].
+
+    Small receptive volumes (K*Cin small) take an im2col path: one big MXU
+    matmul.  Larger ones accumulate per-offset matmuls to bound memory.
+    """
+    K, cin, cout = kernel.shape
+    b, no, _ = table.shape
+    if K * cin <= 1024:
+        cols = jnp.concatenate(
+            [gather_neighbors(feats, table, k) for k in range(K)], axis=-1
+        )  # [B, No, K*Cin]
+        return jnp.einsum(
+            "bnk,ko->bno", cols, kernel.reshape(K * cin, cout),
+            preferred_element_type=jnp.float32,
+        )
+    out = jnp.zeros((b, no, cout), dtype=jnp.promote_types(feats.dtype,
+                                                           jnp.float32))
+    for k in range(K):
+        g = gather_neighbors(feats, table, k)
+        out = out + jnp.einsum("bnc,co->bno", g, kernel[k],
+                               preferred_element_type=jnp.float32)
+    return out.astype(feats.dtype)
+
+
+class SparseConv(nn.Module):
+    """ME.MinkowskiConvolution equivalent.
+
+    stride 1: output coords == input coords (assumed key-sorted).
+    stride 2: output coords = unique floor-aligned coarser coords (sorted by
+    construction via jnp.unique), capacity preserved.
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, sv: SparseVoxels, sorted_keys: jax.Array,
+                 table: Optional[jax.Array] = None):
+        cin = sv.channels
+        if self.kernel_size == 1 and self.stride == 1:
+            kern = self.param(
+                "kernel", nn.initializers.kaiming_normal(), (cin, self.features)
+            )
+            out = jnp.einsum("bnc,co->bno", sv.feats, kern,
+                             preferred_element_type=jnp.float32)
+            if self.use_bias:
+                out = out + self.param("bias", nn.initializers.zeros,
+                                       (self.features,))
+            out = jnp.where(sv.mask[..., None], out, 0.0)
+            return (
+                SparseVoxels(coords=sv.coords, feats=out, mask=sv.mask,
+                             stride=sv.stride),
+                sorted_keys,
+            )
+
+        offsets = kernel_offsets(self.kernel_size, sv.stride)
+        K = offsets.shape[0]
+        kern = self.param(
+            "kernel",
+            lambda key, shape: nn.initializers.kaiming_normal()(
+                key, (K * cin, self.features)).reshape(shape),
+            (K, cin, self.features),
+        )
+        if self.stride == 1:
+            out_coords, out_mask = sv.coords, sv.mask
+            out_stride = sv.stride
+        else:
+            out_coords, out_mask = downsample_coords(sv, self.stride)
+            out_stride = sv.stride * self.stride
+        if table is None:
+            table = build_neighbor_table(sv, sorted_keys, out_coords,
+                                         out_mask, offsets)
+        out = sparse_conv_apply(sv.feats, table, kern)
+        if self.use_bias:
+            out = out + self.param("bias", nn.initializers.zeros,
+                                   (self.features,))
+        out = jnp.where(out_mask[..., None], out, 0.0)
+        out_sv = SparseVoxels(coords=out_coords, feats=out, mask=out_mask,
+                              stride=out_stride)
+        if self.stride == 1:
+            return out_sv, sorted_keys
+        return out_sv, pack_coords(out_coords, out_mask)
+
+
+class SparseConvTranspose(nn.Module):
+    """ME.MinkowskiConvolutionTranspose (kernel 2, stride 2) for the FPN
+    top-down pass (``models/minkfpn.py:62-63``): upsample coarse features onto
+    a given finer coordinate set.  Each fine coord has exactly one coarse
+    parent; the kernel tap is selected by the fine coord's offset within the
+    parent cell."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, coarse: SparseVoxels, coarse_keys: jax.Array,
+                 fine_coords: jax.Array, fine_mask: jax.Array,
+                 fine_stride: int):
+        cin = coarse.channels
+        K = 8  # 2x2x2 kernel
+        kern = self.param(
+            "kernel",
+            lambda key, shape: nn.initializers.kaiming_normal()(
+                key, (K * cin, self.features)).reshape(shape),
+            (K, cin, self.features),
+        )
+        step = coarse.stride
+        parent = (fine_coords // step) * step  # [B, Nf, 3]
+        parent_keys = pack_coords(parent, fine_mask)
+        idx = lookup(coarse_keys, parent_keys)  # [B, Nf]
+        safe = jnp.maximum(idx, 0)
+        g = jnp.take_along_axis(coarse.feats, safe[..., None], axis=1)
+        g = jnp.where((idx >= 0)[..., None], g, 0.0)  # [B, Nf, Cin]
+        off = (fine_coords - parent) // fine_stride  # each in {0, 1}
+        tap = off[..., 0] * 4 + off[..., 1] * 2 + off[..., 2]  # [B, Nf]
+        out = jnp.zeros((*tap.shape, self.features), dtype=jnp.float32)
+        for k in range(K):
+            sel = (tap == k)[..., None]
+            out = out + jnp.where(
+                sel,
+                jnp.einsum("bnc,co->bno", g, kern[k],
+                           preferred_element_type=jnp.float32),
+                0.0,
+            )
+        out = jnp.where(fine_mask[..., None], out, 0.0)
+        return SparseVoxels(coords=fine_coords, feats=out.astype(g.dtype),
+                            mask=fine_mask, stride=fine_stride)
+
+
+class MaskedBatchNorm(nn.Module):
+    """ME.MinkowskiBatchNorm equivalent: BN over all *valid* points in the
+    batch.  Under pjit data parallelism the stats are global automatically;
+    ``axis_name`` adds an explicit pmean for shard_map/pmap execution
+    (replacing the vendored SyncBN, ``model/sync_batchnorm/``)."""
+
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, feats: jax.Array, mask: jax.Array):
+        c = feats.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,)))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            m = mask[..., None].astype(jnp.float32)
+            cnt = jnp.maximum(jnp.sum(m), 1.0)
+            f32 = feats.astype(jnp.float32)
+            mean = jnp.sum(f32 * m, axis=(0, 1)) / cnt
+            var = jnp.sum((f32 - mean) ** 2 * m, axis=(0, 1)) / cnt
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                var = jax.lax.pmean(var, self.axis_name)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * var)
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        out = (feats - mean) * inv * scale + bias
+        return jnp.where(mask[..., None], out, 0.0)
+
+
+class ECALayer(nn.Module):
+    """Efficient Channel Attention (``layers/eca_block.py:13-42``): masked
+    global avg pool -> 1D conv over the channel axis -> sigmoid -> broadcast
+    multiply.  Kernel size derived from channel count exactly as the
+    reference: t = |log2(C)+1|/2, k = t odd-ified."""
+
+    channels: int
+    gamma: float = 2.0
+    b: float = 1.0
+
+    @nn.compact
+    def __call__(self, sv: SparseVoxels) -> SparseVoxels:
+        t = int(abs((math.log2(self.channels) + self.b) / self.gamma))
+        k_size = t if t % 2 else t + 1
+        y = masked_global_avg(sv)  # [B, C]
+        # conv1d over channels, circular? reference uses zero padding
+        w = self.param("conv_w", nn.initializers.lecun_normal(),
+                       (k_size, 1, 1))
+        y = y[..., None]  # [B, C, 1]
+        y = jax.lax.conv_general_dilated(
+            y, w, window_strides=(1,),
+            padding=[((k_size - 1) // 2, (k_size - 1) // 2)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )[..., 0]  # [B, C]
+        y = jax.nn.sigmoid(y)
+        feats = sv.feats * y[:, None, :]
+        feats = jnp.where(sv.mask[..., None], feats, 0.0)
+        return SparseVoxels(coords=sv.coords, feats=feats, mask=sv.mask,
+                            stride=sv.stride)
+
+
+class ECABasicBlock(nn.Module):
+    """ME BasicBlock + ECA after conv2 (``layers/eca_block.py:45-79``)."""
+
+    planes: int
+    train: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, sv: SparseVoxels, sorted_keys: jax.Array):
+        def bn(name):
+            return MaskedBatchNorm(use_running_average=not self.train,
+                                   axis_name=self.axis_name, name=name)
+
+        residual = sv
+        out, _ = SparseConv(self.planes, kernel_size=3, name="conv1")(
+            sv, sorted_keys)
+        out = out.replace(feats=bn("norm1")(out.feats, out.mask))
+        out = out.replace(feats=nn.relu(out.feats))
+        out, _ = SparseConv(self.planes, kernel_size=3, name="conv2")(
+            out, sorted_keys)
+        out = out.replace(feats=bn("norm2")(out.feats, out.mask))
+        out = ECALayer(self.planes, name="eca")(out)
+        if residual.channels != self.planes:
+            residual, _ = SparseConv(self.planes, kernel_size=1,
+                                     name="downsample_conv")(
+                residual, sorted_keys)
+            residual = residual.replace(
+                feats=bn("downsample_bn")(residual.feats, residual.mask))
+        feats = nn.relu(out.feats + residual.feats)
+        feats = jnp.where(sv.mask[..., None], feats, 0.0)
+        return sv.replace(feats=feats), sorted_keys
+
+
+class SparseBasicBlock(nn.Module):
+    """Plain ME BasicBlock (no ECA) — MinkFPN's default block option."""
+
+    planes: int
+    train: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, sv: SparseVoxels, sorted_keys: jax.Array):
+        def bn(name):
+            return MaskedBatchNorm(use_running_average=not self.train,
+                                   axis_name=self.axis_name, name=name)
+
+        residual = sv
+        out, _ = SparseConv(self.planes, kernel_size=3, name="conv1")(
+            sv, sorted_keys)
+        out = out.replace(feats=nn.relu(bn("norm1")(out.feats, out.mask)))
+        out, _ = SparseConv(self.planes, kernel_size=3, name="conv2")(
+            out, sorted_keys)
+        out = out.replace(feats=bn("norm2")(out.feats, out.mask))
+        if residual.channels != self.planes:
+            residual, _ = SparseConv(self.planes, kernel_size=1,
+                                     name="downsample_conv")(
+                residual, sorted_keys)
+            residual = residual.replace(
+                feats=bn("downsample_bn")(residual.feats, residual.mask))
+        feats = nn.relu(out.feats + residual.feats)
+        feats = jnp.where(sv.mask[..., None], feats, 0.0)
+        return sv.replace(feats=feats), sorted_keys
+
+
+class MinkGeM(nn.Module):
+    """GeM over valid points (``layers/pooling.py:70-87``): clamp(eps)^p ->
+    masked avg pool -> ^(1/p)."""
+
+    p_init: float = 3.0
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, sv: SparseVoxels) -> jax.Array:
+        p = self.param("p", lambda k: jnp.ones((1,)) * self.p_init)
+        clamped = jnp.clip(sv.feats, min=self.eps) ** p
+        pooled = masked_global_avg(sv.replace(feats=clamped))
+        return pooled ** (1.0 / p)
