@@ -32,21 +32,29 @@ Func = Callable[[jax.Array, jax.Array], jax.Array]  # f(t, y) -> dy/dt
 # fixed-step methods
 # ---------------------------------------------------------------------------
 
+def _axpy(a, x, y):
+    """y + a*x over arbitrary pytree states (the adjoint integrates a
+    (y, a, grad_p) tuple through the same steppers)."""
+    return jax.tree_util.tree_map(lambda yi, xi: yi + a * xi, y, x)
+
+
 def _euler_step(func: Func, t, dt, y):
-    return y + dt * func(t, y)
+    return _axpy(dt, func(t, y), y)
 
 
 def _midpoint_step(func: Func, t, dt, y):
     k1 = func(t, y)
-    return y + dt * func(t + dt / 2, y + dt / 2 * k1)
+    return _axpy(dt, func(t + dt / 2, _axpy(dt / 2, k1, y)), y)
 
 
 def _rk4_step(func: Func, t, dt, y):
     k1 = func(t, y)
-    k2 = func(t + dt / 2, y + dt / 2 * k1)
-    k3 = func(t + dt / 2, y + dt / 2 * k2)
-    k4 = func(t + dt, y + dt * k3)
-    return y + dt / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+    k2 = func(t + dt / 2, _axpy(dt / 2, k1, y))
+    k3 = func(t + dt / 2, _axpy(dt / 2, k2, y))
+    k4 = func(t + dt, _axpy(dt, k3, y))
+    ksum = jax.tree_util.tree_map(
+        lambda a, b, c, d: a + 2 * b + 2 * c + d, k1, k2, k3, k4)
+    return _axpy(dt / 6, ksum, y)
 
 
 _FIXED_STEPPERS = {
@@ -128,7 +136,12 @@ def odeint_dopri5(func: Func, y0, t0: float = 0.0, t1: float = 1.0,
         dt_eff = jnp.minimum(dt, t1 - t)
         y_new, err_vec = _dopri5_step(func, t, dt_eff, y)
         scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_new))
-        err = jnp.sqrt(jnp.mean((err_vec / scale) ** 2))
+        # stop_gradient: step-size control is a discrete decision; it must not
+        # leak gradients (and sqrt at an exactly-zero error — which happens
+        # once a trajectory lands on t1 and dt_eff becomes 0 — has an
+        # infinite derivative that would poison the whole backward pass).
+        err2 = jax.lax.stop_gradient(jnp.mean((err_vec / scale) ** 2))
+        err = jnp.sqrt(jnp.maximum(err2, 1e-20))
         err = jnp.maximum(err, 1e-10)
         accept = err <= 1.0
         # PI controller: dt *= safety * err^-0.7/5 * prev_err^0.4/5
