@@ -1,0 +1,106 @@
+"""Evaluation — reference ``test.py:89-189`` rebuilt on the TPU retrieval
+engine: batched jitted descriptor extraction for database then queries,
+matmul-L2 top-k (faiss replacement), Recall@N against the radius ground
+truth.  Supports the reference's test methods including five_crops /
+nearest_crop / maj_voting post-processing.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from agplace_tpu.config import Config
+from agplace_tpu.data.base import PlaceDataset, collate_cache_db, collate_cache_q
+from agplace_tpu.retrieval.knn import l2_topk_blocked
+from agplace_tpu.retrieval.recall import (
+    compute_recalls,
+    dedup_nearest_crop,
+    maj_voting_merge,
+)
+
+
+def extract_features(
+    cfg: Config,
+    ds: PlaceDataset,
+    params,
+    batch_stats,
+    embed_queries,
+    embed_db,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Database-then-queries descriptor extraction with fixed-shape batches
+    (final batch padded, mirroring the reference's two DataLoader passes)."""
+    bs = cfg.train.infer_batch_size
+    dim = cfg.model.features_dim
+
+    db_feats = np.empty((ds.database_num, dim), np.float32)
+    for s in range(0, ds.database_num, bs):
+        idx = list(range(s, min(s + bs, ds.database_num)))
+        pad = bs - len(idx)
+        chunk = idx + [idx[-1]] * pad
+        maps = collate_cache_db(ds, chunk)
+        f = np.asarray(embed_db(params, batch_stats, maps))
+        db_feats[s : s + len(idx)] = f[: len(idx)]
+
+    q_feats = np.empty((ds.queries_num, dim), np.float32)
+    for s in range(0, ds.queries_num, bs):
+        idx = list(range(s, min(s + bs, ds.queries_num)))
+        pad = bs - len(idx)
+        chunk = idx + [idx[-1]] * pad
+        images, vox = collate_cache_q(ds, chunk, cfg)
+        f = np.asarray(embed_queries(params, batch_stats, images, vox))
+        q_feats[s : s + len(idx)] = f[: len(idx)]
+    return q_feats, db_feats
+
+
+def evaluate(
+    cfg: Config,
+    ds: PlaceDataset,
+    params,
+    batch_stats,
+    embed_queries,
+    embed_db,
+    pca=None,
+) -> Tuple[np.ndarray, str]:
+    """Returns (recalls, recalls_str) — ``test.test`` equivalent."""
+    q_feats, db_feats = extract_features(cfg, ds, params, batch_stats,
+                                         embed_queries, embed_db)
+    if pca is not None:
+        q_feats = pca.transform(q_feats).astype(np.float32)
+        db_feats = pca.transform(db_feats).astype(np.float32)
+    return evaluate_features(cfg, ds, q_feats, db_feats)
+
+
+def evaluate_features(
+    cfg: Config,
+    ds: PlaceDataset,
+    q_feats: np.ndarray,
+    db_feats: np.ndarray,
+    test_method: Optional[str] = None,
+) -> Tuple[np.ndarray, str]:
+    """compute_recall equivalent (``test.py:24-84``), including the crop
+    post-processing paths.  For five_crops the caller passes 5*Q query rows
+    (crop-major), matching ``test.py:159-172``."""
+    method = test_method or cfg.eval.test_method
+    k = max(cfg.eval.recall_values)
+
+    if method in ("nearest_crop", "maj_voting"):
+        d, i = l2_topk_blocked(q_feats, jnp.asarray(db_feats), 20)
+        d = d.reshape(ds.queries_num, 5 * 20)
+        i = i.reshape(ds.queries_num, 5 * 20)
+        if method == "nearest_crop":
+            preds = dedup_nearest_crop(d, i, keep=20)
+        else:
+            preds = maj_voting_merge(d.reshape(-1, 5, 20).copy(),
+                                     i.reshape(-1, 5, 20).copy(),
+                                     cfg.eval.majority_weight, keep=20)
+    else:
+        if method == "five_crops":
+            # mean across the 5 crop descriptors per query
+            q_feats = q_feats.reshape(ds.queries_num, 5, -1).mean(axis=1)
+        _, preds = l2_topk_blocked(q_feats, jnp.asarray(db_feats), k)
+
+    return compute_recalls(preds, ds.soft_positives_per_query,
+                           cfg.eval.recall_values)

@@ -245,6 +245,53 @@ class NetVLAD(nn.Module):
         return params
 
 
+class CRN(nn.Module):
+    """Contextual Reweighting Network (``model/aggregation.py:177-259``):
+    NetVLAD whose soft assignments are scaled by a multiscale context mask
+    (3x3/5x5/7x7 filters over a 2x-downsampled map, fixed-1 accumulation
+    conv, bilinear upsample)."""
+
+    clusters_num: int = 64
+    dim: int = 256
+
+    @nn.compact
+    def __call__(self, x):  # [B, H, W, C]
+        b, h, w, c = x.shape
+        # descriptor-wise L2 norm
+        x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+        # context mask
+        xd = nn.avg_pool(x, (3, 3), strides=(2, 2), padding=((0, 1), (0, 1)))
+        g3 = nn.Conv(32, (3, 3), padding=1, name="filter_3")(xd)
+        g5 = nn.Conv(32, (5, 5), padding=2, name="filter_5")(xd)
+        g7 = nn.Conv(20, (7, 7), padding=3, name="filter_7")(xd)
+        g = nn.relu(jnp.concatenate([g3, g5, g7], axis=-1))
+        # accumulation weight: fixed all-ones 1x1 conv (non-trainable in the
+        # reference) == channel sum
+        wmask = nn.relu(jnp.sum(g, axis=-1, keepdims=True))  # [B,h',w',1]
+        mask = jax.image.resize(wmask, (b, h, w, 1), method="bilinear")
+
+        centroids = self.param("centroids", nn.initializers.normal(1.0),
+                               (self.clusters_num, c))
+        assign_w = self.param("assign_w", nn.initializers.lecun_normal(),
+                              (c, self.clusters_num))
+        assign_b = self.param("assign_b", nn.initializers.zeros,
+                              (self.clusters_num,))
+        flat = x.reshape(b, h * w, c)
+        soft = jax.nn.softmax(
+            jnp.dot(flat, assign_w, preferred_element_type=jnp.float32)
+            + assign_b, axis=-1)
+        soft = soft * mask.reshape(b, h * w, 1)  # contextual reweighting
+        weighted_x = jnp.einsum("bnk,bnc->bkc", soft, flat)
+        counts = jnp.sum(soft, axis=1)
+        vlad = weighted_x - counts[..., None] * centroids[None]
+        vlad = vlad / jnp.maximum(
+            jnp.linalg.norm(vlad, axis=-1, keepdims=True), 1e-12)
+        vlad = vlad.reshape(b, -1)
+        return vlad / jnp.maximum(
+            jnp.linalg.norm(vlad, axis=-1, keepdims=True), 1e-12)
+
+
 class GlobalHead(nn.Module):
     """Aggregation registry keyed by the reference's ``--aggregation`` flag."""
 
@@ -274,4 +321,7 @@ class GlobalHead(nn.Module):
         if agg == "netvlad":
             return NetVLAD(self.netvlad_clusters, self.features_dim,
                            name="netvlad")(x)
+        if agg == "crn":
+            return CRN(self.netvlad_clusters, self.features_dim,
+                       name="crn")(x)
         raise NotImplementedError(f"aggregation={agg}")

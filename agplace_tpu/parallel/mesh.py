@@ -1,0 +1,62 @@
+"""Device-mesh utilities — the framework's scale-out substrate.
+
+The reference's only parallelism is single-process DataParallel + a vendored
+SyncBN (SURVEY.md §2.5).  Here scale-out is declarative: a ``Mesh`` with a
+``data`` axis (batch sharding; BN stats are global automatically under GSPMD)
+and a ``gallery`` axis (retrieval database sharding for 100k+ tile galleries).
+Collectives ride ICI; code is identical from 1 chip to a pod.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from agplace_tpu.config import MeshConfig
+
+
+def make_mesh(cfg: Optional[MeshConfig] = None,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    cfg = cfg or MeshConfig()
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    gp = max(cfg.gallery_parallel, 1)
+    dp = cfg.data_parallel if cfg.data_parallel > 0 else n // gp
+    assert dp * gp <= n, f"mesh {dp}x{gp} > {n} devices"
+    dev_array = np.array(devices[: dp * gp]).reshape(dp, gp)
+    return Mesh(dev_array, (cfg.data_axis, cfg.gallery_axis))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Leading-axis sharding for batch pytrees."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any, axis: str = "data") -> Any:
+    """Place a host batch on the mesh with the leading dim sharded over
+    ``axis`` (and everything else replicated).  Works on pytrees including
+    SparseVoxels."""
+    sh = batch_sharding(mesh, axis)
+
+    def put(x):
+        import jax.numpy as jnp
+
+        x = jnp.asarray(x)
+        if x.ndim == 0:
+            return jax.device_put(x, replicated(mesh))
+        return jax.device_put(x, NamedSharding(
+            mesh, P(axis, *([None] * (x.ndim - 1)))))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate_tree(mesh: Mesh, tree: Any) -> Any:
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

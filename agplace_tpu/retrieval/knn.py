@@ -37,8 +37,15 @@ def pairwise_sq_l2(queries: jax.Array, database: jax.Array) -> jax.Array:
 
 def pairwise_l2(queries: jax.Array, database: jax.Array) -> jax.Array:
     """Euclidean distance matrix (torch.cdist equivalent,
-    compute_other_loss.py:78-81)."""
-    return jnp.sqrt(pairwise_sq_l2(queries, database))
+    compute_other_loss.py:78-81).
+
+    Safe sqrt: zero entries (self-distances on the diagonal of A-A blocks)
+    get a zero gradient instead of sqrt'(0)=inf — matching torch.cdist's
+    subgradient convention and keeping the geo-BCE loss NaN-free.
+    """
+    d2 = pairwise_sq_l2(queries, database)
+    nonzero = d2 > 0
+    return jnp.where(nonzero, jnp.sqrt(jnp.where(nonzero, d2, 1.0)), 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

@@ -1,0 +1,73 @@
+"""Mesh-sharded exact retrieval for galleries beyond one chip's HBM
+(BASELINE.json config 5: 100k+ aerial tiles).
+
+Design: the gallery lives sharded over the ``gallery`` mesh axis; each shard
+computes its local [Q, k] top-k via matmul, then the per-shard candidates are
+all-gathered (k per shard — tiny vs the gallery) and reduced to the global
+top-k.  One all-gather of [Q, k*shards] rides ICI; the [Q, D_local] distance
+matrices never leave their shard.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from agplace_tpu.retrieval.knn import pairwise_sq_l2
+
+
+def shard_gallery(mesh: Mesh, database, axis: str = "gallery"):
+    """Place [D, C] gallery with rows sharded over the gallery axis.
+    D must divide evenly; pad with +inf-distance sentinel rows if not."""
+    import numpy as np
+
+    db = np.asarray(database)
+    n_shards = mesh.shape[axis]
+    rem = (-len(db)) % n_shards
+    if rem:
+        # sentinel rows at huge distance so they never enter a top-k
+        pad = np.full((rem, db.shape[1]), 1e18, db.dtype)
+        db = np.concatenate([db, pad])
+    sharding = NamedSharding(mesh, P(axis, None))
+    return jax.device_put(jnp.asarray(db), sharding)
+
+
+def sharded_l2_topk(mesh: Mesh, queries, database_sharded, k: int,
+                    axis: str = "gallery") -> Tuple[jax.Array, jax.Array]:
+    """Exact global top-k over a gallery sharded on ``axis``.
+
+    queries: [Q, C] (replicated).  Returns (sq_distances [Q, k],
+    global indices [Q, k]).
+    """
+    n_shards = mesh.shape[axis]
+    shard_rows = database_sharded.shape[0] // n_shards
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None)),
+        out_specs=(P(), P()),
+        # the final top-k is computed from an all_gather, so it is identical
+        # on every shard; the varying-mesh-axes analysis can't infer that
+        check_vma=False,
+    )
+    def search(q, db_local):
+        d2 = pairwise_sq_l2(q, db_local)  # [Q, D/shards]
+        neg, idx = jax.lax.top_k(-d2, k)  # local top-k
+        my_shard = jax.lax.axis_index(axis)
+        gidx = idx + my_shard * shard_rows
+        # gather candidates from every shard: [n_shards, Q, k]
+        all_neg = jax.lax.all_gather(neg, axis)
+        all_idx = jax.lax.all_gather(gidx, axis)
+        q_n = q.shape[0]
+        cand_d = jnp.transpose(all_neg, (1, 0, 2)).reshape(q_n, -1)
+        cand_i = jnp.transpose(all_idx, (1, 0, 2)).reshape(q_n, -1)
+        best_neg, slot = jax.lax.top_k(cand_d, k)
+        best_idx = jnp.take_along_axis(cand_i, slot, axis=1)
+        return -best_neg, best_idx
+
+    return search(queries, database_sharded)

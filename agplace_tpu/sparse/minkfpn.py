@@ -72,10 +72,15 @@ class MinkFPN(nn.Module):
                                   name=f"down{i}")(sv, keys)
             sv = sv.replace(feats=nn.relu(bn(f"down_bn{i}")(sv.feats,
                                                             sv.mask)))
+            # one k=3 neighbour table per level, shared by all block convs
+            from agplace_tpu.sparse.modules import build_k3_table
+
+            level_table = build_k3_table(sv, keys)
             for b in range(self.layers[i]):
                 sv, keys = block_cls(self.planes[i], train=self.train,
                                      axis_name=self.axis_name,
-                                     name=f"block{i}_{b}")(sv, keys)
+                                     name=f"block{i}_{b}")(
+                    sv, keys, table=level_table)
             if n_stages - 1 - self.num_top_down <= i < n_stages - 1:
                 lateral_feature_maps.append((sv, keys))
             out_maps.append((sv, keys))

@@ -22,7 +22,9 @@ import numpy as np
 from agplace_tpu.sparse.voxels import (
     SparseVoxels,
     build_neighbor_table,
+    build_point_grid,
     downsample_coords,
+    grid_lookup,
     kernel_offsets,
     lookup,
     masked_global_avg,
@@ -40,6 +42,9 @@ def gather_neighbors(feats: jax.Array, table: jax.Array, k: int) -> jax.Array:
     return jnp.where((idx >= 0)[..., None], g, 0.0)
 
 
+_GATHER_BUDGET_ELEMS = 64 * 1024 * 1024  # cap the [B,No,Kc,Cin] im2col buffer
+
+
 def sparse_conv_apply(feats: jax.Array, table: jax.Array,
                       kernel: jax.Array) -> jax.Array:
     """Gather-GEMM-accumulate sparse convolution.
@@ -47,25 +52,26 @@ def sparse_conv_apply(feats: jax.Array, table: jax.Array,
     feats [B, N, Cin], table [B, No, K], kernel [K, Cin, Cout]
     -> [B, No, Cout].
 
-    Small receptive volumes (K*Cin small) take an im2col path: one big MXU
-    matmul.  Larger ones accumulate per-offset matmuls to bound memory.
+    Offsets are processed in chunks: each chunk is ONE flattened gather over
+    all its offsets followed by ONE einsum — a small XLA graph (fast compile)
+    and a big MXU contraction — with the chunk size picked so the gathered
+    im2col buffer stays under a fixed memory budget.
     """
     K, cin, cout = kernel.shape
     b, no, _ = table.shape
-    if K * cin <= 1024:
-        cols = jnp.concatenate(
-            [gather_neighbors(feats, table, k) for k in range(K)], axis=-1
-        )  # [B, No, K*Cin]
-        return jnp.einsum(
-            "bnk,ko->bno", cols, kernel.reshape(K * cin, cout),
-            preferred_element_type=jnp.float32,
-        )
-    out = jnp.zeros((b, no, cout), dtype=jnp.promote_types(feats.dtype,
-                                                           jnp.float32))
-    for k in range(K):
-        g = gather_neighbors(feats, table, k)
-        out = out + jnp.einsum("bnc,co->bno", g, kernel[k],
-                               preferred_element_type=jnp.float32)
+    per_offset = b * no * cin
+    chunk = max(1, min(K, _GATHER_BUDGET_ELEMS // max(per_offset, 1)))
+    out = jnp.zeros((b, no, cout), dtype=jnp.float32)
+    for s in range(0, K, chunk):
+        kc = min(chunk, K - s)
+        idx = table[:, :, s : s + kc]  # [B, No, kc]
+        safe = jnp.maximum(idx, 0).reshape(b, no * kc)
+        g = jnp.take_along_axis(feats, safe[..., None], axis=1)
+        g = g.reshape(b, no, kc, cin)
+        g = jnp.where((idx >= 0)[..., None], g, 0.0)
+        out = out + jnp.einsum(
+            "bnkc,kco->bno", g, kernel[s : s + kc],
+            preferred_element_type=jnp.float32)
     return out.astype(feats.dtype)
 
 
@@ -156,8 +162,8 @@ class SparseConvTranspose(nn.Module):
         )
         step = coarse.stride
         parent = (fine_coords // step) * step  # [B, Nf, 3]
-        parent_keys = pack_coords(parent, fine_mask)
-        idx = lookup(coarse_keys, parent_keys)  # [B, Nf]
+        grid = build_point_grid(coarse.coords, coarse.mask)
+        idx = grid_lookup(grid, parent, fine_mask)  # [B, Nf]
         safe = jnp.maximum(idx, 0)
         g = jnp.take_along_axis(coarse.feats, safe[..., None], axis=1)
         g = jnp.where((idx >= 0)[..., None], g, 0.0)  # [B, Nf, Cin]
@@ -249,6 +255,14 @@ class ECALayer(nn.Module):
                             stride=sv.stride)
 
 
+def build_k3_table(sv: SparseVoxels, sorted_keys: jax.Array) -> jax.Array:
+    """Kernel-3 neighbour table on a tensor's own coordinate set — built once
+    per resolution level and shared by every stride-1 k=3 conv on it (the
+    blocks' conv1/conv2/... all see identical geometry)."""
+    return build_neighbor_table(sv, sorted_keys, sv.coords, sv.mask,
+                                kernel_offsets(3, sv.stride))
+
+
 class ECABasicBlock(nn.Module):
     """ME BasicBlock + ECA after conv2 (``layers/eca_block.py:45-79``)."""
 
@@ -257,18 +271,21 @@ class ECABasicBlock(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, sv: SparseVoxels, sorted_keys: jax.Array):
+    def __call__(self, sv: SparseVoxels, sorted_keys: jax.Array,
+                 table: Optional[jax.Array] = None):
         def bn(name):
             return MaskedBatchNorm(use_running_average=not self.train,
                                    axis_name=self.axis_name, name=name)
 
+        if table is None:
+            table = build_k3_table(sv, sorted_keys)
         residual = sv
         out, _ = SparseConv(self.planes, kernel_size=3, name="conv1")(
-            sv, sorted_keys)
+            sv, sorted_keys, table=table)
         out = out.replace(feats=bn("norm1")(out.feats, out.mask))
         out = out.replace(feats=nn.relu(out.feats))
         out, _ = SparseConv(self.planes, kernel_size=3, name="conv2")(
-            out, sorted_keys)
+            out, sorted_keys, table=table)
         out = out.replace(feats=bn("norm2")(out.feats, out.mask))
         out = ECALayer(self.planes, name="eca")(out)
         if residual.channels != self.planes:
@@ -290,17 +307,20 @@ class SparseBasicBlock(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, sv: SparseVoxels, sorted_keys: jax.Array):
+    def __call__(self, sv: SparseVoxels, sorted_keys: jax.Array,
+                 table: Optional[jax.Array] = None):
         def bn(name):
             return MaskedBatchNorm(use_running_average=not self.train,
                                    axis_name=self.axis_name, name=name)
 
+        if table is None:
+            table = build_k3_table(sv, sorted_keys)
         residual = sv
         out, _ = SparseConv(self.planes, kernel_size=3, name="conv1")(
-            sv, sorted_keys)
+            sv, sorted_keys, table=table)
         out = out.replace(feats=nn.relu(bn("norm1")(out.feats, out.mask)))
         out, _ = SparseConv(self.planes, kernel_size=3, name="conv2")(
-            out, sorted_keys)
+            out, sorted_keys, table=table)
         out = out.replace(feats=bn("norm2")(out.feats, out.mask))
         if residual.channels != self.planes:
             residual, _ = SparseConv(self.planes, kernel_size=1,

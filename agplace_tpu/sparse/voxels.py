@@ -85,7 +85,9 @@ def quantize(points: jax.Array, quant_size: float, capacity: int,
     """
     b, p, _ = points.shape
     coords = jnp.floor(points / quant_size).astype(jnp.int32)
-    coords = jnp.clip(coords, -COORD_BOUND + 1, COORD_BOUND - 1)
+    # clamp into the occupancy grid's extent so every voxel participates in
+    # kernel maps (GRID_RADIUS=64 covers ±128 m at the default quant_size=2)
+    coords = jnp.clip(coords, -GRID_RADIUS + 1, GRID_RADIUS - 1)
     if mask is None:
         mask = jnp.ones((b, p), dtype=bool)
     keys = pack_coords(coords, mask)
@@ -134,9 +136,14 @@ def sort_by_key(sv: SparseVoxels) -> Tuple[SparseVoxels, jax.Array]:
 
 
 def lookup(sorted_keys: jax.Array, query_keys: jax.Array) -> jax.Array:
-    """Exact membership lookup: for each query key, the row index into the
-    sorted point list, or -1 if absent.  sorted_keys [B, N], query_keys
-    [B, M] -> int32 [B, M].
+    """Exact membership lookup via binary search: for each query key, the row
+    index into the sorted point list, or -1 if absent.  sorted_keys [B, N],
+    query_keys [B, M] -> int32 [B, M].
+
+    NOTE: for the conv neighbour tables the occupancy-grid path
+    (``build_point_grid``/``grid_lookup``) is much faster on TPU — search is
+    O(log N) *serial* steps of dynamic gathers, the grid is one scatter +
+    one gather.  This remains for sparse/irregular key sets.
     """
 
     def one(sk, qk):
@@ -148,6 +155,58 @@ def lookup(sorted_keys: jax.Array, query_keys: jax.Array) -> jax.Array:
     return jax.vmap(one)(sorted_keys, query_keys)
 
 
+# ---------------------------------------------------------------------------
+# occupancy-grid lookup — the fast path for kernel-map construction
+# ---------------------------------------------------------------------------
+
+GRID_RADIUS = 64  # static half-extent of the dense occupancy grid, in voxels
+# (KITTI/nuScenes clouds at quant_size=2 span ~±55 voxels; quantize() clamps)
+
+
+def build_point_grid(coords: jax.Array, mask: jax.Array,
+                     radius: int = GRID_RADIUS) -> jax.Array:
+    """Dense per-sample occupancy grid: grid[b, flat(c)] = row index of the
+    point at coordinate c, or -1.  One scatter — O(N), trivial HLO.
+
+    coords [B, N, 3] int32 (|coord| < radius), mask [B, N].
+    Returns int32 [B, (2*radius)^3].
+    """
+    d = 2 * radius
+    b, n, _ = coords.shape
+    inb = jnp.logical_and(mask, jnp.all(jnp.abs(coords) < radius, axis=-1))
+    shifted = jnp.clip(coords + radius, 0, d - 1)
+    flat = ((shifted[..., 0] * d + shifted[..., 1]) * d
+            + shifted[..., 2])  # [B, N]
+    # masked-out rows all collide on one sacrificial slot
+    flat = jnp.where(inb, flat, d * d * d)
+    rows = jnp.broadcast_to(
+        jax.lax.broadcasted_iota(jnp.int32, (b, n), 1), (b, n))
+
+    def scatter_one(f, r):
+        g = jnp.full((d * d * d + 1,), -1, jnp.int32)
+        return g.at[f].set(r, mode="drop")[:-1]
+
+    return jax.vmap(scatter_one)(flat, rows)
+
+
+def grid_lookup(grid: jax.Array, query_coords: jax.Array,
+                query_valid: jax.Array, radius: int = GRID_RADIUS
+                ) -> jax.Array:
+    """Row indices of query coordinates in the grid's point set (-1 if
+    absent/invalid).  query_coords [B, ..., 3] -> int32 [B, ...]."""
+    d = 2 * radius
+    inb = jnp.logical_and(
+        query_valid, jnp.all(jnp.abs(query_coords) < radius, axis=-1))
+    shifted = jnp.clip(query_coords + radius, 0, d - 1)
+    flat = ((shifted[..., 0] * d + shifted[..., 1]) * d + shifted[..., 2])
+    flat = jnp.where(inb, flat, 0)
+    lead = query_coords.shape[1:-1]
+    flat2 = flat.reshape(flat.shape[0], -1)
+    got = jnp.take_along_axis(grid, flat2, axis=1).reshape(
+        (flat.shape[0],) + lead)
+    return jnp.where(inb, got, -1)
+
+
 def build_neighbor_table(
     sv_sorted: SparseVoxels,
     sorted_keys: jax.Array,
@@ -156,19 +215,20 @@ def build_neighbor_table(
     offsets: np.ndarray,
 ) -> jax.Array:
     """Kernel map: for each output point and kernel offset, the input-point
-    row index (or -1).  Replaces ME's CUDA coordinate-map/kernel-map machinery
-    with K batched searchsorted passes.
+    row index (or -1).  Replaces ME's CUDA coordinate-map/kernel-map
+    machinery with one occupancy-grid scatter + one gather — O(N + No*K)
+    with no search loop (binary-search lowering measured 20-40x slower on
+    TPU; see ``lookup``).  ``sorted_keys`` is unused on this path and kept
+    for signature stability.
 
     Returns int32 [B, N_out, K].
     """
+    del sorted_keys
+    grid = build_point_grid(sv_sorted.coords, sv_sorted.mask)
     off = jnp.asarray(offsets)  # [K, 3]
     nbr_coords = out_coords[:, :, None, :] + off[None, None]  # [B,No,K,3]
-    in_range = jnp.all(jnp.abs(nbr_coords) < COORD_BOUND, axis=-1)
-    valid = jnp.logical_and(out_mask[:, :, None], in_range)
-    keys = pack_coords(nbr_coords, valid)  # [B, No, K]
-    b, no, k = keys.shape
-    idx = lookup(sorted_keys, keys.reshape(b, no * k))
-    return idx.reshape(b, no, k)
+    valid = jnp.broadcast_to(out_mask[:, :, None], nbr_coords.shape[:-1])
+    return grid_lookup(grid, nbr_coords, valid)
 
 
 def downsample_coords(sv: SparseVoxels, factor: int
@@ -207,12 +267,30 @@ def masked_global_max(sv: SparseVoxels) -> jax.Array:
 
 def batched_from_pointclouds(points: np.ndarray, quant_size: float,
                              capacity: int) -> SparseVoxels:
-    """Host-side collate helper: metric point clouds [B, P, 3] (NaN-padded or
-    zero-padded) -> quantised SparseVoxels.  Mirrors
-    ``ME.utils.batched_coordinates`` + per-item ``sparse_quantize`` in the
-    reference collates (``kitti360:120-127``)."""
+    """Host-side collate helper: metric point clouds [B, P, 3] (NaN-padded)
+    -> quantised SparseVoxels.  Mirrors ``ME.utils.batched_coordinates`` +
+    per-item ``sparse_quantize`` in the reference collates
+    (``kitti360:120-127``).
+
+    Pure numpy: the input pipeline must never dispatch eager device ops
+    (per-op round-trips dominate on remote-attached accelerators).
+    """
     pts = np.asarray(points, dtype=np.float32)
+    b = pts.shape[0]
     finite = np.all(np.isfinite(pts), axis=-1)
-    pts = np.nan_to_num(pts)
-    return quantize(jnp.asarray(pts), quant_size, capacity,
-                    mask=jnp.asarray(finite))
+    coords_all = np.floor(np.nan_to_num(pts) / quant_size).astype(np.int32)
+    np.clip(coords_all, -GRID_RADIUS + 1, GRID_RADIUS - 1, out=coords_all)
+
+    out_coords = np.zeros((b, capacity, 3), np.int32)
+    out_mask = np.zeros((b, capacity), bool)
+    for i in range(b):
+        c = coords_all[i][finite[i]]
+        if len(c):
+            uniq = np.unique(c, axis=0)
+            k = min(len(uniq), capacity)
+            out_coords[i, :k] = uniq[:k]
+            out_mask[i, :k] = True
+    feats = out_mask[..., None].astype(np.float32)
+    return SparseVoxels(coords=jnp.asarray(out_coords),
+                        feats=jnp.asarray(feats),
+                        mask=jnp.asarray(out_mask), stride=1)

@@ -1,0 +1,117 @@
+"""Training driver — reference ``train.py:85-413`` rebuilt.
+
+Per epoch: ``loops_num = ceil(queries_per_epoch / cache_refresh_rate)`` mining
+rounds, each refreshing triplets with the miner then running the jitted train
+step over the mined batches; per-epoch evaluation; best-model tracking on
+R@1+R@5+R@10 (``train.py:363-372``); checkpointing.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from agplace_tpu.config import Config
+from agplace_tpu.data.base import PlaceDataset, collate_train
+from agplace_tpu.evaluate import evaluate
+from agplace_tpu.train.checkpoint import CheckpointManager
+from agplace_tpu.train.mining import TripletMiner
+from agplace_tpu.train.state import TrainState
+from agplace_tpu.train.step import init_state, make_infer_fns, make_train_step
+from agplace_tpu.utils.common import MetricsWriter, PhaseTimer, count_params
+
+
+def train(
+    cfg: Config,
+    train_ds: PlaceDataset,
+    test_ds: PlaceDataset,
+    state: Optional[TrainState] = None,
+    max_steps: Optional[int] = None,
+) -> Dict:
+    """Runs the full training loop; returns summary dict with the final
+    state, per-epoch recalls, and best metrics."""
+    log = logging.getLogger("train")
+    rng = np.random.default_rng(cfg.train.seed)
+    metrics_out = MetricsWriter(f"{cfg.train.save_dir}/metrics.jsonl")
+    timer = PhaseTimer()
+
+    miner = TripletMiner(cfg, train_ds)
+    train_step = make_train_step(cfg)
+    embed_q, embed_db = make_infer_fns(cfg)
+
+    if state is None:
+        warm = miner.mine_random(rng, cfg.train.train_batch_size)
+        batch = collate_train(train_ds, warm, cfg, rng)
+        state = init_state(cfg, jax.random.PRNGKey(cfg.train.seed), batch)
+    log.info("params: %d", count_params(state.params))
+
+    ckpt = CheckpointManager(cfg.train.save_dir)
+    start_epoch = 0
+    best_r1r5r10ep = [0.0, 0.0, 0.0, 0]
+    if cfg.train.resume:
+        state, meta = ckpt.restore(cfg.train.resume, state)
+        start_epoch = int(meta["epoch_num"]) + 1
+        log.info("resumed from %s at epoch %d", cfg.train.resume, start_epoch)
+
+    history = []
+    steps_done = 0
+    for epoch in range(start_epoch, cfg.train.epochs_num):
+        t0 = time.time()
+        epoch_losses = []
+        loops_num = math.ceil(cfg.train.queries_per_epoch
+                              / cfg.train.cache_refresh_rate)
+        for loop in range(loops_num):
+            with timer("mining"):
+                triplets = miner.mine(
+                    rng, cfg.train.cache_refresh_rate,
+                    params=state.params, batch_stats=state.batch_stats,
+                    embed_q=embed_q, embed_db=embed_db)
+            bs = cfg.train.train_batch_size
+            n_batches = len(triplets) // bs
+            with timer("train"):
+                for b in range(n_batches):
+                    rows = triplets[b * bs : (b + 1) * bs]
+                    batch = collate_train(train_ds, rows, cfg, rng)
+                    state, m = train_step(state, batch)
+                    epoch_losses.append(float(m["loss"]))
+                    steps_done += 1
+                    if max_steps is not None and steps_done >= max_steps:
+                        break
+            if max_steps is not None and steps_done >= max_steps:
+                break
+
+        with timer("eval"):
+            recalls, recalls_str = evaluate(
+                cfg, test_ds, state.params, state.batch_stats,
+                embed_q, embed_db)
+        mean_loss = float(np.mean(epoch_losses)) if epoch_losses else 0.0
+        is_best = sum(recalls[:3]) > sum(best_r1r5r10ep[:3])
+        if is_best:
+            best_r1r5r10ep = [recalls[0], recalls[1], recalls[2], epoch]
+        log.info("epoch %d: loss=%.4f %s (best ep %d) [%.1fs]", epoch,
+                 mean_loss, recalls_str, best_r1r5r10ep[3], time.time() - t0)
+        metrics_out.write({
+            "epoch": epoch, "loss": mean_loss,
+            "recalls": recalls.tolist(), "is_best": is_best,
+            "phase_times": dict(timer.totals),
+        })
+        history.append({"epoch": epoch, "loss": mean_loss,
+                        "recalls": recalls})
+
+        if epoch > cfg.train.checkpoint_after_epoch or is_best:
+            ckpt.save(state, epoch, recalls, best_r5=float(recalls[1]),
+                      not_improved_num=0, is_best=is_best)
+        if max_steps is not None and steps_done >= max_steps:
+            break
+
+    return {
+        "state": state,
+        "history": history,
+        "best": best_r1r5r10ep,
+        "phase_times": dict(timer.totals),
+    }

@@ -1,0 +1,180 @@
+"""Hard-negative mining — TPU-native ``compute_triplets`` (SURVEY.md §2.2).
+
+The reference refreshes a descriptor cache every ``cache_refresh_rate``
+queries by running both towers over a sampled subset, then does *per-query*
+faiss searches to pick the best positive and the 10 hardest negatives
+(``datasets_ws_kitti360.py:891-1137``).  Here the cache fill is a batched
+jitted embed pass and the selection is one [nq, nd] distance matrix +
+masked top-k on the MXU — no per-query python loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from agplace_tpu.config import Config
+from agplace_tpu.data.base import (
+    PlaceDataset,
+    collate_cache_db,
+    collate_cache_q,
+    pad_positives,
+)
+from agplace_tpu.retrieval.knn import pairwise_sq_l2
+
+
+def _batched_embed_db(ds, indices, embed_db, params, batch_stats, bs):
+    out = np.empty((len(indices), 0), np.float32)
+    feats = []
+    for s in range(0, len(indices), bs):
+        chunk = list(indices[s : s + bs])
+        pad = 0
+        if len(chunk) < bs:
+            pad = bs - len(chunk)
+            chunk = chunk + [chunk[-1]] * pad
+        maps = collate_cache_db(ds, chunk)
+        f = np.asarray(embed_db(params, batch_stats, maps))
+        feats.append(f[: bs - pad])
+    return np.concatenate(feats) if feats else out
+
+
+def _batched_embed_q(ds, indices, embed_q, params, batch_stats, bs, cfg):
+    feats = []
+    for s in range(0, len(indices), bs):
+        chunk = list(indices[s : s + bs])
+        pad = 0
+        if len(chunk) < bs:
+            pad = bs - len(chunk)
+            chunk = chunk + [chunk[-1]] * pad
+        images, vox = collate_cache_q(ds, chunk, cfg)
+        f = np.asarray(embed_q(params, batch_stats, images, vox))
+        feats.append(f[: bs - pad])
+    return np.concatenate(feats) if feats else np.empty((0, 0), np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("n_hard",))
+def _select_triplets(
+    q_feats: jax.Array,  # [nq, C]
+    db_feats: jax.Array,  # [nd, C]  (cache subset)
+    pos_idx: jax.Array,  # [nq, P_max] positions into db_feats, -1 pad
+    neg_idx: jax.Array,  # [nq, S] positions into db_feats (negative pool)
+    neg_forbidden: jax.Array,  # [nq, S] bool: True = soft positive, exclude
+    n_hard: int = 10,
+):
+    """Vectorised best-positive + hardest-negative selection."""
+    d2 = pairwise_sq_l2(q_feats, db_feats)  # [nq, nd]
+    big = jnp.float32(1e30)
+
+    # best positive among each query's hard positives
+    safe_pos = jnp.maximum(pos_idx, 0)
+    pos_d = jnp.take_along_axis(d2, safe_pos, axis=1)
+    pos_d = jnp.where(pos_idx >= 0, pos_d, big)
+    best_pos_slot = jnp.argmin(pos_d, axis=1)  # [nq]
+    best_pos = jnp.take_along_axis(pos_idx, best_pos_slot[:, None],
+                                   axis=1)[:, 0]
+
+    # hardest negatives from the sampled pool, excluding soft positives
+    neg_d = jnp.take_along_axis(d2, neg_idx, axis=1)  # [nq, S]
+    neg_d = jnp.where(neg_forbidden, big, neg_d)
+    _, hard_slots = jax.lax.top_k(-neg_d, n_hard)  # [nq, n_hard]
+    hard_negs = jnp.take_along_axis(neg_idx, hard_slots, axis=1)
+    return best_pos, hard_negs
+
+
+class TripletMiner:
+    """partial_sep mining driver (plus ``random``).  Produces global-index
+    triplets [nq, 2+nneg] consumed by ``collate_train``."""
+
+    def __init__(self, cfg: Config, ds: PlaceDataset):
+        self.cfg = cfg
+        self.ds = ds
+        t = cfg.train
+        self.nneg = t.negs_num_per_query
+        self.neg_pool = min(t.neg_samples_num, ds.database_num)
+        # queries with no hard positive are dropped up front, as the
+        # reference does (kitti360:748-759)
+        self.valid_queries = np.array([
+            i for i in range(ds.queries_num)
+            if len(ds.hard_positives_per_query[i]) > 0
+        ])
+
+    def mine_random(self, rng: np.random.Generator, n_queries: int):
+        """compute_triplets_random semantics (kitti360:995-1020): random
+        positive among hard positives, random negatives outside soft
+        positives."""
+        qs = rng.choice(self.valid_queries, size=n_queries, replace=True)
+        rows = []
+        for q in qs:
+            pos = rng.choice(self.ds.hard_positives_per_query[q])
+            soft = set(self.ds.soft_positives_per_query[q].tolist())
+            negs = []
+            while len(negs) < self.nneg:
+                cand = int(rng.integers(0, self.ds.database_num))
+                if cand not in soft:
+                    negs.append(cand)
+            rows.append([q, pos] + negs)
+        return np.asarray(rows, np.int64)
+
+    def mine_partial_sep(
+        self,
+        rng: np.random.Generator,
+        n_queries: int,
+        params,
+        batch_stats,
+        embed_q,
+        embed_db,
+    ) -> np.ndarray:
+        ds, cfg = self.ds, self.cfg
+        bs = cfg.train.infer_batch_size
+        qs = rng.choice(self.valid_queries, size=n_queries, replace=False
+                        if n_queries <= len(self.valid_queries) else True)
+
+        sampled_negs = rng.choice(ds.database_num, size=self.neg_pool,
+                                  replace=False)
+        all_pos = np.unique(np.concatenate(
+            [ds.hard_positives_per_query[q] for q in qs]))
+        cache_ids = np.unique(np.concatenate([sampled_negs, all_pos]))
+        slot_of = {int(g): i for i, g in enumerate(cache_ids)}
+
+        db_feats = _batched_embed_db(ds, cache_ids, embed_db, params,
+                                     batch_stats, bs)
+        q_feats = _batched_embed_q(ds, qs, embed_q, params, batch_stats, bs,
+                                   cfg)
+
+        pos_sets = [
+            np.array([slot_of[int(g)] for g in ds.hard_positives_per_query[q]])
+            for q in qs
+        ]
+        pos_idx, _ = pad_positives(pos_sets)
+        neg_idx = np.array([slot_of[int(g)] for g in sampled_negs])
+        neg_idx = np.broadcast_to(neg_idx, (len(qs), len(neg_idx)))
+        forbidden = np.stack([
+            np.isin(sampled_negs, ds.soft_positives_per_query[q])
+            for q in qs
+        ])
+
+        best_pos_slot, hard_neg_slots = _select_triplets(
+            jnp.asarray(q_feats), jnp.asarray(db_feats),
+            jnp.asarray(pos_idx), jnp.asarray(neg_idx),
+            jnp.asarray(forbidden), self.nneg)
+        best_pos = cache_ids[np.asarray(best_pos_slot)]
+        hard_negs = cache_ids[np.asarray(hard_neg_slots)]
+        return np.concatenate(
+            [qs[:, None], best_pos[:, None], hard_negs], axis=1)
+
+    def mine(self, rng, n_queries, params=None, batch_stats=None,
+             embed_q=None, embed_db=None) -> np.ndarray:
+        mining = self.cfg.train.mining
+        if mining == "random" or params is None:
+            return self.mine_random(rng, n_queries)
+        if mining in ("partial_sep", "partial", "full"):
+            # partial/full collapse to the same vectorised selection with a
+            # pool of neg_samples_num (full would use the whole gallery;
+            # partial_sep is the reference default)
+            return self.mine_partial_sep(rng, n_queries, params, batch_stats,
+                                         embed_q, embed_db)
+        raise NotImplementedError(mining)

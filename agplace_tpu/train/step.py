@@ -1,0 +1,161 @@
+"""The jitted training / inference steps.
+
+One ``train_step`` covers what the reference does per batch at
+``/root/reference/train.py:301-341``: both tower forwards, the geo-BCE
+"other" loss, the triplet loss over mined indices, backward, and both Adam
+updates — all fused into a single XLA program with donated state.
+
+Batch layout (fixed shapes; collate builds it):
+    query_image:     [B, H, W, 3]
+    vox:             SparseVoxels (query point clouds)
+    query_eastnorth: [B, 2]
+    db_map:          [B, 1+nneg, NMAP, H, W, 3]
+    db_eastnorth:    [B, 1+nneg, 2]
+    triplets_local:  [B*nneg, 3] int32  (indices into the flattened
+                     [B*(2+nneg), C] feature matrix, query-first layout as in
+                     the reference collate, ``kitti360:130-131``)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from agplace_tpu.config import Config
+from agplace_tpu.models.dbvanilla2d import DBVanilla2D
+from agplace_tpu.models.mm import MM
+from agplace_tpu.sparse.voxels import SparseVoxels
+from agplace_tpu.train.losses import (
+    compute_other_loss,
+    compute_sare_loss,
+    compute_triplet_loss,
+)
+from agplace_tpu.train.optim import make_optimizer
+from agplace_tpu.train.state import TrainState
+
+
+def build_models(cfg: Config, train: bool):
+    mm = MM(config=cfg.model.mm, train=train)
+    db = DBVanilla2D(
+        config=cfg.model.db,
+        dim=cfg.model.features_dim,
+        nmap=cfg.data.nmap,
+        output_l2=cfg.model.mm.output_l2,
+        final_l2=cfg.model.mm.final_l2,
+        train=train,
+    )
+    return mm, db
+
+
+def init_state(cfg: Config, rng: jax.Array, sample_batch) -> TrainState:
+    mm, db = build_models(cfg, train=False)
+    k1, k2 = jax.random.split(rng)
+    mm_vars = mm.init(k1, sample_batch["query_image"], sample_batch["vox"])
+    db_vars = db.init(k2, sample_batch["db_map"])
+    params = {"mm": mm_vars["params"], "db": db_vars["params"]}
+    batch_stats = {
+        "mm": mm_vars.get("batch_stats", {}),
+        "db": db_vars.get("batch_stats", {}),
+    }
+    tx = make_optimizer(cfg.train)
+    return TrainState.create(params, batch_stats, tx)
+
+
+def make_train_step(cfg: Config):
+    """Returns ``train_step(state, batch) -> (state, metrics)``, jitted with
+    donated state."""
+    mm, db = build_models(cfg, train=True)
+    tx = make_optimizer(cfg.train)
+    loss_cfg = cfg.train.loss
+    bs = cfg.train.train_batch_size
+    nneg = cfg.train.negs_num_per_query
+
+    def loss_fn(params, batch_stats, batch):
+        mm_out, mm_mut = mm.apply(
+            {"params": params["mm"], "batch_stats": batch_stats["mm"]},
+            batch["query_image"], batch["vox"], mutable=["batch_stats"],
+        )
+        aerial, db_mut = db.apply(
+            {"params": params["db"], "batch_stats": batch_stats["db"]},
+            batch["db_map"], mutable=["batch_stats"],
+        )  # [B, 1+nneg, C]
+
+        loss = 0.0
+        metrics = {}
+        if cfg.model.modelq == "mm":
+            otherloss = compute_other_loss(
+                mm_out, aerial, batch["query_eastnorth"],
+                batch["db_eastnorth"], loss_cfg,
+                positive_thd=cfg.data.train_positives_dist_threshold,
+                negative_thd=cfg.data.val_positive_dist_threshold,
+            )
+            loss = loss + otherloss
+            metrics["otherloss"] = otherloss
+
+        ground = mm_out["embedding"][:, None, :]  # [B, 1, C]
+        feats = jnp.concatenate([ground, aerial], axis=1)
+        feats = feats.reshape(-1, feats.shape[-1])  # [B*(2+nneg), C]
+
+        if loss_cfg.criterion == "triplet":
+            tloss = compute_triplet_loss(feats, batch["triplets_local"], bs,
+                                         nneg, loss_cfg.margin)
+        elif loss_cfg.criterion == "sare_ind":
+            tloss = compute_sare_loss(feats, batch["triplets_local"], bs,
+                                      nneg, joint=False)
+        elif loss_cfg.criterion == "sare_joint":
+            tloss = compute_sare_loss(feats, batch["triplets_local"], bs,
+                                      nneg, joint=True)
+        else:
+            raise NotImplementedError(loss_cfg.criterion)
+        loss = loss + tloss * loss_cfg.tripletloss_weight
+        metrics["triplet_loss"] = tloss
+        metrics["loss"] = loss
+        new_stats = {
+            "mm": mm_mut.get("batch_stats", batch_stats["mm"]),
+            "db": db_mut.get("batch_stats", batch_stats["db"]),
+        }
+        return loss, (metrics, new_stats)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        (_, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_infer_fns(cfg: Config):
+    """Jitted descriptor extractors for caching/eval (the reference's
+    ``model(data_dict, 'db')`` / ``modelq(data_dict, 'q')`` no-grad passes,
+    ``test.py:125-176``)."""
+    mm, db = build_models(cfg, train=False)
+
+    @jax.jit
+    def embed_queries(params, batch_stats, query_image,
+                      vox: SparseVoxels) -> jax.Array:
+        out = mm.apply(
+            {"params": params["mm"], "batch_stats": batch_stats["mm"]},
+            query_image, vox)
+        return out["embedding"]
+
+    @jax.jit
+    def embed_db(params, batch_stats, db_map) -> jax.Array:
+        # db_map: [B, NMAP, H, W, 3] cache entry -> [B, C]
+        return db.apply(
+            {"params": params["db"], "batch_stats": batch_stats["db"]},
+            db_map)
+
+    return embed_queries, embed_db

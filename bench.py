@@ -1,0 +1,73 @@
+"""Benchmark entry — prints ONE JSON line with the headline metric.
+
+Metric: query descriptors/sec/chip on the flagship MM query tower at the
+reference's production shapes (KITTI-360 config: 256x256 ground image +
+quantised LiDAR voxel cloud -> 256-d descriptor; ``BASELINE.json``).
+
+``vs_baseline`` is measured throughput divided by BASELINE_DESC_PER_SEC —
+the documented estimate of the PyTorch reference on its own RTX-4090-class
+hardware (the repo publishes no numbers; see BASELINE.md).  The north-star is
+vs_baseline >= 5.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# Estimated reference throughput (PyTorch + MinkowskiEngine on RTX 4090,
+# infer_batch_size 32, 256px, ~8k-voxel clouds).  See BASELINE.md.
+BASELINE_DESC_PER_SEC = 1000.0
+
+BATCH = 32
+IMAGE_SIZE = 256
+VOX_CAP = 8192
+WARMUP = 3
+ITERS = 20
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from agplace_tpu.config import kitti360_config
+    from agplace_tpu.models.mm import MM
+    from agplace_tpu.sparse.voxels import batched_from_pointclouds
+
+    cfg = kitti360_config()
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.standard_normal((BATCH, IMAGE_SIZE, IMAGE_SIZE, 3)), jnp.float32)
+    pts = rng.uniform(-100, 100, size=(BATCH, 30000, 3)).astype(np.float32)
+    vox = batched_from_pointclouds(pts, cfg.data.quant_size, VOX_CAP)
+
+    mm = MM(config=cfg.model.mm, train=False)
+    variables = jax.jit(mm.init)(jax.random.PRNGKey(0), images, vox)
+
+    @jax.jit
+    def embed(v, im, vx):
+        return mm.apply(v, im, vx)["embedding"]
+
+    for _ in range(WARMUP):
+        embed(variables, images, vox).block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        embed(variables, images, vox).block_until_ready()
+    dt = time.perf_counter() - t0
+
+    desc_per_sec = BATCH * ITERS / dt
+    n_chips = max(jax.device_count(), 1)
+    value = desc_per_sec / n_chips
+    print(json.dumps({
+        "metric": "query_descriptors_per_sec_per_chip",
+        "value": round(value, 2),
+        "unit": "desc/s/chip",
+        "vs_baseline": round(value / BASELINE_DESC_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
