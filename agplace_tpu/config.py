@@ -95,6 +95,7 @@ class ODEConfig:
     rtol: float = 1e-3
     atol: float = 1e-3
     dopri5_max_steps: int = 64  # static bound for the adaptive integrator
+    use_pallas: bool = True  # fused VMEM-resident Euler chain on TPU
 
 
 @dataclass(frozen=True)

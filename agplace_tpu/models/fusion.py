@@ -41,6 +41,19 @@ class FCODE(nn.Module):
         w = self.param("kernel", nn.initializers.lecun_normal(),
                        (self.dim, self.dim))
         b = self.param("bias", nn.initializers.zeros, (self.dim,))
+
+        n_steps = max(int(-(-1.0 // self.ode.step_size)), 1)
+        uniform_steps = abs(n_steps * self.ode.step_size - 1.0) < 1e-9
+        if (self.ode.use_pallas and self.ode.method == "euler"
+                and uniform_steps and x.ndim == 2
+                and self.act in ("relu", "tanh", "sigmoid", "id", None)):
+            # fused VMEM-resident Euler chain (Pallas kernel; exact same
+            # math as the scan path, with a matching custom VJP)
+            from agplace_tpu.ops.pallas.ode_step import fused_euler_ode
+
+            return fused_euler_ode(x, w, b, n_steps, self.ode.step_size,
+                                   self.act or "id")
+
         act = _ACTS[self.act]
 
         def func(t, y):
