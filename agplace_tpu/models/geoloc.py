@@ -74,7 +74,8 @@ class ViTBackbone(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         x = nn.Conv(self.hidden, (self.patch, self.patch),
-                    strides=(self.patch, self.patch), name="embed")(x)
+                    strides=(self.patch, self.patch), padding="VALID",
+                    name="embed")(x)
         x = x.reshape(b, -1, self.hidden)
         cls = self.param("cls", nn.initializers.zeros, (1, 1, self.hidden))
         x = jnp.concatenate([jnp.tile(cls, (b, 1, 1)), x], axis=1)
