@@ -111,6 +111,13 @@ class MMConfig:
     voxfe_planes: Tuple[int, ...] = (64, 128, 256)
     voxfe_ntd: int = 0  # num_top_down in MinkFPN
     voxfe_dim: int = 256
+    # voxel-branch execution backend: "dense" = masked dense-grid conv3d
+    # (XLA-native, MXU near-peak; exactly equivalent, see sparse/dense_grid);
+    # "sparse" = padded gather-GEMM (for clouds exceeding the grid extent)
+    voxfe_backend: str = "dense"
+    # LiDAR clouds are flat: z extent 8 voxels (±8 m at quant 2) covers the
+    # KITTI/nuScenes vertical range; xy ±128 m
+    vox_grid_extent: Tuple[int, int, int] = (128, 128, 8)
     stg2fuse_dim: int = 256
     output_type: Tuple[str, ...] = ("image", "vox", "shallow")
     output_l2: bool = True
@@ -290,6 +297,10 @@ def synthetic_config(
 ) -> Config:
     """Small config for CI / smoke tests on CPU-JAX."""
     return Config(
+        model=ModelConfig(
+            mm=dataclasses.replace(MMConfig(),
+                                   vox_grid_extent=(32, 32, 16)),
+        ),
         data=DataConfig(
             dataset="synthetic",
             q_resize=image_size,

@@ -44,14 +44,37 @@ def extract_features(
         f = np.asarray(embed_db(params, batch_stats, maps))
         db_feats[s : s + len(idx)] = f[: len(idx)]
 
-    q_feats = np.empty((ds.queries_num, dim), np.float32)
-    for s in range(0, ds.queries_num, bs):
-        idx = list(range(s, min(s + bs, ds.queries_num)))
-        pad = bs - len(idx)
-        chunk = idx + [idx[-1]] * pad
-        images, vox = collate_cache_q(ds, chunk, cfg)
-        f = np.asarray(embed_queries(params, batch_stats, images, vox))
-        q_feats[s : s + len(idx)] = f[: len(idx)]
+    crop_methods = ("five_crops", "nearest_crop", "maj_voting")
+    use_crops = (cfg.eval.test_method in crop_methods
+                 and hasattr(ds, "load_query_crops"))
+    if use_crops:
+        # 5 descriptors per query, crop-major rows (test.py:159-172)
+        q_feats = np.empty((5 * ds.queries_num, dim), np.float32)
+        from agplace_tpu.sparse.voxels import batched_from_pointclouds
+
+        for s in range(0, ds.queries_num, bs):
+            idx = list(range(s, min(s + bs, ds.queries_num)))
+            pad = bs - len(idx)
+            chunk = idx + [idx[-1]] * pad
+            crops = np.stack([ds.load_query_crops(i, cfg.data.q_resize)
+                              for i in chunk])  # [bs, 5, H, W, 3]
+            pts = np.stack([ds.load_query_points(i) for i in chunk])
+            pts5 = np.repeat(pts, 5, axis=0)
+            vox = batched_from_pointclouds(pts5, cfg.data.quant_size,
+                                           cfg.data.vox_max_points)
+            flat = crops.reshape(-1, *crops.shape[2:])  # [bs*5, H, W, 3]
+            f = np.asarray(embed_queries(params, batch_stats, flat, vox))
+            f = f.reshape(bs, 5, dim)[: len(idx)].reshape(-1, dim)
+            q_feats[5 * s : 5 * s + len(f)] = f
+    else:
+        q_feats = np.empty((ds.queries_num, dim), np.float32)
+        for s in range(0, ds.queries_num, bs):
+            idx = list(range(s, min(s + bs, ds.queries_num)))
+            pad = bs - len(idx)
+            chunk = idx + [idx[-1]] * pad
+            images, vox = collate_cache_q(ds, chunk, cfg)
+            f = np.asarray(embed_queries(params, batch_stats, images, vox))
+            q_feats[s : s + len(idx)] = f[: len(idx)]
     return q_feats, db_feats
 
 

@@ -16,6 +16,13 @@ import jax.numpy as jnp
 
 from agplace_tpu.config import ODEConfig
 from agplace_tpu.ode.integrators import odeint
+from agplace_tpu.sparse.dense_grid import (
+    DenseVoxelGrid,
+    GridConv,
+    GridECABasicBlock,
+    GridMinkGeM,
+    grid_global_avg,
+)
 from agplace_tpu.sparse.modules import ECABasicBlock, MinkGeM, SparseConv
 from agplace_tpu.sparse.voxels import SparseVoxels, masked_global_avg
 
@@ -140,6 +147,7 @@ class BasicBlock2D(nn.Module):
     dim: int
     train: bool = False
     axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -150,9 +158,11 @@ class BasicBlock2D(nn.Module):
                                 else None, name=name)
 
         identity = x
-        out = nn.Conv(self.dim, (3, 3), padding=1, name="conv1")(x)
+        out = nn.Conv(self.dim, (3, 3), padding=1, dtype=self.dtype,
+                      name="conv1")(x)
         out = nn.relu(bn("bn1")(out))
-        out = nn.Conv(self.dim, (3, 3), padding=1, name="conv2")(out)
+        out = nn.Conv(self.dim, (3, 3), padding=1, dtype=self.dtype,
+                      name="conv2")(out)
         out = bn("bn2")(out)
         return nn.relu(out + identity)
 
@@ -223,10 +233,13 @@ class Stage2FuseBlockAdd(nn.Module):
     use_proj: bool = True
     train: bool = False
     axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, imgmap: jax.Array, voxmap: Optional[SparseVoxels],
-                 vox_keys: Optional[jax.Array], fusevec: jax.Array):
+    def __call__(self, imgmap: jax.Array, voxmap=None,
+                 vox_keys: Optional[jax.Array] = None,
+                 fusevec: jax.Array = None):
+        dense_vox = isinstance(voxmap, DenseVoxelGrid)
         imgoutvec = None
         voxoutvec = None
         for i in range(self.nlayers):
@@ -243,34 +256,53 @@ class Stage2FuseBlockAdd(nn.Module):
                 else:
                     fusevec_vox = fusevec
                 # ME_broadcast_add (stage2fuse_blockadd.py:26-32)
-                vfeats = jnp.where(
-                    voxmap.mask[..., None],
-                    voxmap.feats + fusevec_vox[:, None, :], 0.0)
+                if dense_vox:
+                    vfeats = jnp.where(
+                        voxmap.mask[..., None],
+                        voxmap.feats + fusevec_vox[:, None, None, None, :],
+                        0.0)
+                else:
+                    vfeats = jnp.where(
+                        voxmap.mask[..., None],
+                        voxmap.feats + fusevec_vox[:, None, :], 0.0)
                 voxmap = voxmap.replace(feats=vfeats)
 
             imgmap = BasicBlock2D(self.imgdim, train=self.train,
                                   axis_name=self.axis_name,
+                                  dtype=self.dtype,
                                   name=f"ffn_img_{i}")(imgmap)
             if voxmap is not None:
-                voxmap, _ = ECABasicBlock(self.voxdim, train=self.train,
-                                          axis_name=self.axis_name,
-                                          name=f"ffn_vox_{i}")(
-                    voxmap, vox_keys)
+                if dense_vox:
+                    voxmap = GridECABasicBlock(self.voxdim, train=self.train,
+                                               axis_name=self.axis_name,
+                                               name=f"ffn_vox_{i}")(voxmap)
+                else:
+                    voxmap, _ = ECABasicBlock(self.voxdim, train=self.train,
+                                              axis_name=self.axis_name,
+                                              name=f"ffn_vox_{i}")(
+                        voxmap, vox_keys)
             imgoutvec = GeM2D(name=f"pool_img_{i}")(imgmap)
             if voxmap is not None:
-                voxoutvec = MinkGeM(name=f"pool_vox_{i}")(voxmap)
+                pool_cls = GridMinkGeM if dense_vox else MinkGeM
+                voxoutvec = pool_cls(name=f"pool_vox_{i}")(voxmap)
 
             # fold refined maps back into the fused vector
-            imgmap_fuse = nn.Conv(self.fusedim, (1, 1),
+            imgmap_fuse = nn.Conv(self.fusedim, (1, 1), dtype=self.dtype,
                                   name=f"proj_img_fuse_{i}")(imgmap)
             imgvec_fuse = jnp.mean(imgmap_fuse, axis=(1, 2))
             fusevec = fusevec + imgvec_fuse
             if voxmap is not None:
-                voxmap_fuse, _ = SparseConv(self.fusedim, kernel_size=1,
-                                            use_bias=True,
-                                            name=f"proj_vox_fuse_{i}")(
-                    voxmap, vox_keys)
-                fusevec = fusevec + masked_global_avg(voxmap_fuse)
+                if dense_vox:
+                    voxmap_fuse = GridConv(self.fusedim, kernel_size=1,
+                                           use_bias=True,
+                                           name=f"proj_vox_fuse_{i}")(voxmap)
+                    fusevec = fusevec + grid_global_avg(voxmap_fuse)
+                else:
+                    voxmap_fuse, _ = SparseConv(self.fusedim, kernel_size=1,
+                                                use_bias=True,
+                                                name=f"proj_vox_fuse_{i}")(
+                        voxmap, vox_keys)
+                    fusevec = fusevec + masked_global_avg(voxmap_fuse)
             fusevec = FFNFuse(self.fusedim, self.stg2fuse_type,
                               name=f"ffn_fuse_{i}")(fusevec)
         return fusevec, imgoutvec, voxoutvec

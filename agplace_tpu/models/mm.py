@@ -25,6 +25,12 @@ from agplace_tpu.config import MMConfig
 from agplace_tpu.models.fusion import FuseBlockToShallow, Stage2FuseBlockAdd
 from agplace_tpu.models.image_fe import ImageFE
 from agplace_tpu.models.pooling import GeM
+from agplace_tpu.sparse.dense_grid import (
+    DenseMinkFPN,
+    GridMinkGeM,
+    densify,
+    grid_global_avg,
+)
 from agplace_tpu.sparse.minkfpn import MinkFPN
 from agplace_tpu.sparse.modules import MinkGeM
 from agplace_tpu.sparse.voxels import SparseVoxels, masked_global_avg
@@ -80,18 +86,37 @@ class MM(nn.Module):
         vox_keys = None
         voxmaplist = None
         if use_vox:
-            voxfeatmap, vox_keys, voxmaplist = MinkFPN(
-                out_channels=cfg.voxfe_planes[-1],
-                planes=cfg.voxfe_planes,
-                layers=cfg.voxfe_layers,
-                num_top_down=cfg.voxfe_ntd,
-                conv0_kernel_size=5,
-                block="eca",
-                train=self.train,
-                axis_name=self.axis_name,
-                name="vox_fe",
-            )(vox)
-            voxfeatvec = MinkGeM(name="vox_pool")(voxfeatmap)
+            if cfg.voxfe_backend == "dense":
+                grid = densify(vox, extent=cfg.vox_grid_extent)
+                # keep the big grid activations in compute dtype end-to-end
+                # (fp32<->bf16 round-trips of the [B,X,Y,Z,C] buffers cost
+                # more than the convs themselves)
+                grid = grid.replace(feats=grid.feats.astype(self.dtype))
+                voxfeatmap, voxmaplist = DenseMinkFPN(
+                    out_channels=cfg.voxfe_planes[-1],
+                    planes=cfg.voxfe_planes,
+                    layers=cfg.voxfe_layers,
+                    num_top_down=cfg.voxfe_ntd,
+                    conv0_kernel_size=5,
+                    block="eca",
+                    train=self.train,
+                    axis_name=self.axis_name,
+                    name="vox_fe",
+                )(grid)
+                voxfeatvec = GridMinkGeM(name="vox_pool")(voxfeatmap)
+            else:
+                voxfeatmap, vox_keys, voxmaplist = MinkFPN(
+                    out_channels=cfg.voxfe_planes[-1],
+                    planes=cfg.voxfe_planes,
+                    layers=cfg.voxfe_layers,
+                    num_top_down=cfg.voxfe_ntd,
+                    conv0_kernel_size=5,
+                    block="eca",
+                    train=self.train,
+                    axis_name=self.axis_name,
+                    name="vox_fe",
+                )(vox)
+                voxfeatvec = MinkGeM(name="vox_pool")(voxfeatmap)
             if cfg.output_l2:
                 voxfeatvec = _l2(voxfeatvec)
             outputs["voxvec_org"] = voxfeatvec
@@ -106,8 +131,11 @@ class MM(nn.Module):
             imageveclist = [jnp.mean(m, axis=(1, 2)) for m in imagemaplist]
             voxveclist = None
             if use_vox:
-                voxveclist = [masked_global_avg(sv)
-                              for sv, _ in voxmaplist]
+                if cfg.voxfe_backend == "dense":
+                    voxveclist = [grid_global_avg(g) for g in voxmaplist]
+                else:
+                    voxveclist = [masked_global_avg(sv)
+                                  for sv, _ in voxmaplist]
             shallowfeatvec = FuseBlockToShallow(
                 dims=tuple(cfg.stg2fuse_dim for _ in range(n_scales)),
                 img_dims=cfg.imgfe_planes,
@@ -142,6 +170,7 @@ class MM(nn.Module):
             use_proj=cfg.stg2_useproj,
             train=self.train,
             axis_name=self.axis_name,
+            dtype=self.dtype,
             name="stg2fuseblock",
         )(imagefeatmap, voxfeatmap if use_vox else None, vox_keys,
           out_components[-1])

@@ -109,11 +109,12 @@ class ResNetFeatures(nn.Module):
         block_cls, stage_sizes, expansion = _RESNET_SPECS[self.arch]
 
         def norm(name=None):
+            # BN always computes in fp32 (stats stability under bf16 acts)
             return nn.BatchNorm(
                 use_running_average=not self.train,
                 momentum=0.9, epsilon=1e-5,
                 axis_name=self.axis_name if self.train else None,
-                dtype=self.dtype, name=name,
+                dtype=jnp.float32, name=name,
             )
 
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,

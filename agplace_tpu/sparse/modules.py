@@ -42,23 +42,29 @@ def gather_neighbors(feats: jax.Array, table: jax.Array, k: int) -> jax.Array:
     return jnp.where((idx >= 0)[..., None], g, 0.0)
 
 
-_GATHER_BUDGET_ELEMS = 64 * 1024 * 1024  # cap the [B,No,Kc,Cin] im2col buffer
+_GATHER_BUDGET_ELEMS = 256 * 1024 * 1024  # cap the [B,No,Kc,Cin] im2col buf
 
 
 def sparse_conv_apply(feats: jax.Array, table: jax.Array,
-                      kernel: jax.Array) -> jax.Array:
+                      kernel: jax.Array,
+                      compute_dtype=jnp.bfloat16) -> jax.Array:
     """Gather-GEMM-accumulate sparse convolution.
 
     feats [B, N, Cin], table [B, No, K], kernel [K, Cin, Cout]
-    -> [B, No, Cout].
+    -> [B, No, Cout] in feats.dtype.
 
     Offsets are processed in chunks: each chunk is ONE flattened gather over
     all its offsets followed by ONE einsum — a small XLA graph (fast compile)
     and a big MXU contraction — with the chunk size picked so the gathered
-    im2col buffer stays under a fixed memory budget.
+    im2col buffer stays under a fixed memory budget.  Compute runs in
+    ``compute_dtype`` (bf16: native MXU rate and half the gather traffic)
+    with fp32 accumulation; pass float32 for oracle-exact results.
     """
     K, cin, cout = kernel.shape
     b, no, _ = table.shape
+    in_dtype = feats.dtype
+    feats = feats.astype(compute_dtype)
+    kernel = kernel.astype(compute_dtype)
     per_offset = b * no * cin
     chunk = max(1, min(K, _GATHER_BUDGET_ELEMS // max(per_offset, 1)))
     out = jnp.zeros((b, no, cout), dtype=jnp.float32)
@@ -68,11 +74,12 @@ def sparse_conv_apply(feats: jax.Array, table: jax.Array,
         safe = jnp.maximum(idx, 0).reshape(b, no * kc)
         g = jnp.take_along_axis(feats, safe[..., None], axis=1)
         g = g.reshape(b, no, kc, cin)
-        g = jnp.where((idx >= 0)[..., None], g, 0.0)
+        g = jnp.where((idx >= 0)[..., None], g,
+                      jnp.zeros((), compute_dtype))
         out = out + jnp.einsum(
             "bnkc,kco->bno", g, kernel[s : s + kc],
             preferred_element_type=jnp.float32)
-    return out.astype(feats.dtype)
+    return out.astype(in_dtype)
 
 
 class SparseConv(nn.Module):
@@ -88,6 +95,7 @@ class SparseConv(nn.Module):
     stride: int = 1
     use_bias: bool = False
     dtype: Any = jnp.float32
+    compute_dtype: Any = jnp.bfloat16  # MXU-native; float32 for oracle tests
 
     @nn.compact
     def __call__(self, sv: SparseVoxels, sorted_keys: jax.Array,
@@ -126,7 +134,8 @@ class SparseConv(nn.Module):
         if table is None:
             table = build_neighbor_table(sv, sorted_keys, out_coords,
                                          out_mask, offsets)
-        out = sparse_conv_apply(sv.feats, table, kern)
+        out = sparse_conv_apply(sv.feats, table, kern,
+                                compute_dtype=self.compute_dtype)
         if self.use_bias:
             out = out + self.param("bias", nn.initializers.zeros,
                                    (self.features,))

@@ -277,19 +277,28 @@ def batched_from_pointclouds(points: np.ndarray, quant_size: float,
     """
     pts = np.asarray(points, dtype=np.float32)
     b = pts.shape[0]
-    finite = np.all(np.isfinite(pts), axis=-1)
-    coords_all = np.floor(np.nan_to_num(pts) / quant_size).astype(np.int32)
-    np.clip(coords_all, -GRID_RADIUS + 1, GRID_RADIUS - 1, out=coords_all)
 
-    out_coords = np.zeros((b, capacity, 3), np.int32)
-    out_mask = np.zeros((b, capacity), bool)
-    for i in range(b):
-        c = coords_all[i][finite[i]]
-        if len(c):
-            uniq = np.unique(c, axis=0)
-            k = min(len(uniq), capacity)
-            out_coords[i, :k] = uniq[:k]
-            out_mask[i, :k] = True
+    # fast path: first-party C++ voxelizer (threaded over the batch)
+    from agplace_tpu.native import voxelize_batch_native
+
+    native = voxelize_batch_native(pts, quant_size, capacity, GRID_RADIUS)
+    if native is not None:
+        out_coords, out_mask = native
+    else:  # pure-numpy fallback
+        finite = np.all(np.isfinite(pts), axis=-1)
+        coords_all = np.floor(np.nan_to_num(pts) / quant_size).astype(
+            np.int32)
+        np.clip(coords_all, -GRID_RADIUS + 1, GRID_RADIUS - 1,
+                out=coords_all)
+        out_coords = np.zeros((b, capacity, 3), np.int32)
+        out_mask = np.zeros((b, capacity), bool)
+        for i in range(b):
+            c = coords_all[i][finite[i]]
+            if len(c):
+                uniq = np.unique(c, axis=0)
+                k = min(len(uniq), capacity)
+                out_coords[i, :k] = uniq[:k]
+                out_mask[i, :k] = True
     feats = out_mask[..., None].astype(np.float32)
     return SparseVoxels(coords=jnp.asarray(out_coords),
                         feats=jnp.asarray(feats),

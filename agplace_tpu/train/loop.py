@@ -18,6 +18,7 @@ import numpy as np
 
 from agplace_tpu.config import Config
 from agplace_tpu.data.base import PlaceDataset, collate_train
+from agplace_tpu.data.pipeline import Prefetcher
 from agplace_tpu.evaluate import evaluate
 from agplace_tpu.train.checkpoint import CheckpointManager
 from agplace_tpu.train.mining import TripletMiner
@@ -73,10 +74,17 @@ def train(
                     embed_q=embed_q, embed_db=embed_db)
             bs = cfg.train.train_batch_size
             n_batches = len(triplets) // bs
+            row_chunks = [triplets[b * bs : (b + 1) * bs]
+                          for b in range(n_batches)]
+            seeds = rng.integers(0, 2 ** 31, size=n_batches)
+            loader = Prefetcher(
+                list(zip(row_chunks, seeds)),
+                lambda it: collate_train(
+                    train_ds, it[0], cfg, np.random.default_rng(it[1])),
+                num_workers=cfg.data.num_workers,
+            )
             with timer("train"):
-                for b in range(n_batches):
-                    rows = triplets[b * bs : (b + 1) * bs]
-                    batch = collate_train(train_ds, rows, cfg, rng)
+                for batch in loader:
                     state, m = train_step(state, batch)
                     epoch_losses.append(float(m["loss"]))
                     steps_done += 1

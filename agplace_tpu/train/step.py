@@ -39,7 +39,9 @@ from agplace_tpu.train.state import TrainState
 
 
 def build_models(cfg: Config, train: bool):
-    mm = MM(config=cfg.model.mm, train=train)
+    dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" \
+        else jnp.float32
+    mm = MM(config=cfg.model.mm, train=train, dtype=dtype)
     db = DBVanilla2D(
         config=cfg.model.db,
         dim=cfg.model.features_dim,
@@ -47,6 +49,7 @@ def build_models(cfg: Config, train: bool):
         output_l2=cfg.model.mm.output_l2,
         final_l2=cfg.model.mm.final_l2,
         train=train,
+        dtype=dtype,
     )
     return mm, db
 

@@ -1,0 +1,95 @@
+"""Auxiliary subsystem tests: folder dataset (@utm@ names), viz, flops,
+checkpoint round-trip, metrics writer."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from agplace_tpu.config import synthetic_config
+from agplace_tpu.utils.common import MetricsWriter, PhaseTimer, make_rngs
+
+
+@pytest.fixture
+def folder_root(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    base = tmp_path / "pitts_mini" / "images" / "train"
+    for sub in ("database", "queries"):
+        os.makedirs(base / sub)
+    e0, n0 = 500000.0, 4000000.0
+    for i in range(8):
+        img = Image.fromarray(rng.integers(0, 255, (48, 48, 3),
+                                           dtype=np.uint8))
+        img.save(base / "database" / f"@{e0 + i * 30}@{n0}@x@.jpg")
+    for i in range(4):
+        img = Image.fromarray(rng.integers(0, 255, (48, 48, 3),
+                                           dtype=np.uint8))
+        img.save(base / "queries" / f"@{e0 + i * 30 + 3}@{n0}@x@.jpg")
+    return str(tmp_path / "pitts_mini")
+
+
+def test_folder_dataset(folder_root):
+    from agplace_tpu.data.folder_dataset import FolderDataset, PCADataset
+
+    cfg = synthetic_config(image_size=32)
+    ds = FolderDataset(cfg, folder_root, "train")
+    assert ds.database_num == 8 and ds.queries_num == 4
+    # query i is 3 m from database tile i -> within 10 m hard radius
+    for q in range(4):
+        assert q in ds.hard_positives_per_query[q]
+    img = ds.load_query_image(0)
+    assert img.shape == (32, 32, 3)
+    crops = ds.load_query_crops(0, 24)
+    assert crops.shape == (5, 24, 24, 3)
+    maps = ds.load_db_maps(0)
+    assert maps.shape == (1, 32, 32, 3)
+
+    pca_ds = PCADataset(ds, num_images=6)
+    assert len(pca_ds) == 6
+    assert pca_ds[0].shape == (32, 32, 3)
+
+
+def test_viz_outputs(tmp_path):
+    from agplace_tpu.utils.viz import viz_lidar, viz_retrievals
+
+    rng = np.random.default_rng(1)
+    pc = rng.uniform(-10, 10, (500, 3)).astype(np.float32)
+    pc[450:] = np.nan
+    p1 = viz_lidar([pc], out_path=str(tmp_path / "l.png"))
+    assert os.path.exists(p1)
+    q = rng.random((32, 32, 3))
+    p2 = viz_retrievals(q, [q, q], [True, False],
+                        out_path=str(tmp_path / "r.png"))
+    assert os.path.exists(p2)
+
+
+def test_flops_counts_matmul():
+    import jax.numpy as jnp
+
+    from agplace_tpu.utils.flops import get_flops
+
+    f = lambda x: jnp.dot(x, x)
+    assert get_flops(f, jnp.ones((32, 32))) == 2 * 32 ** 3
+
+
+def test_metrics_writer_and_timer(tmp_path):
+    path = str(tmp_path / "m.jsonl")
+    w = MetricsWriter(path)
+    w.write({"loss": 1.5, "recalls": np.array([1.0, 2.0])})
+    rec = json.loads(open(path).read().strip())
+    assert rec["loss"] == 1.5 and rec["recalls"] == [1.0, 2.0]
+
+    t = PhaseTimer()
+    with t("phase_a"):
+        pass
+    assert "phase_a" in t.totals
+
+
+def test_make_rngs_deterministic():
+    a = make_rngs(0, "x", "y")
+    b = make_rngs(0, "x", "y")
+    assert (np.asarray(a["x"]) == np.asarray(b["x"])).all()
+    assert not (np.asarray(a["x"]) == np.asarray(a["y"])).all()

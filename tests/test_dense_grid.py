@@ -1,0 +1,167 @@
+"""Masked dense-grid voxel backend: exact equivalence with the sparse
+gather-GEMM path under mapped weights (the two implementations of the same
+generalized sparse convolution)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from agplace_tpu.sparse.dense_grid import (
+    DenseMinkFPN,
+    DenseVoxelGrid,
+    GridConv,
+    GridMinkGeM,
+    densify,
+    grid_global_avg,
+    grid_global_max,
+)
+from agplace_tpu.sparse.minkfpn import MinkFPN
+from agplace_tpu.sparse.modules import MinkGeM, SparseConv
+from agplace_tpu.sparse.voxels import SparseVoxels, sort_by_key, masked_global_avg
+
+
+def _sv(rng, b=2, n=48, span=4, c=3):
+    coords = np.zeros((b, n, 3), np.int32)
+    mask = np.zeros((b, n), bool)
+    for i in range(b):
+        all_c = np.stack(np.meshgrid(*[np.arange(-span, span)] * 3,
+                                     indexing="ij"), -1).reshape(-1, 3)
+        take = rng.choice(len(all_c), size=n // 2, replace=False)
+        coords[i, : n // 2] = all_c[take]
+        mask[i, : n // 2] = True
+    feats = rng.standard_normal((b, n, c)).astype(np.float32)
+    feats[~mask] = 0
+    return SparseVoxels(coords=jnp.asarray(coords), feats=jnp.asarray(feats),
+                        mask=jnp.asarray(mask), stride=1)
+
+
+def _gather_dense(grid: DenseVoxelGrid, sv: SparseVoxels):
+    """Read the dense grid back at the sparse coords (for comparison)."""
+    x, y, z = grid.mask.shape[1:]
+    c = sv.coords // max(grid.stride, 1)
+    ii = np.asarray(c[..., 0]) + x // 2
+    jj = np.asarray(c[..., 1]) + y // 2
+    kk = np.asarray(c[..., 2]) + z // 2
+    out = np.zeros(sv.feats.shape[:2] + (grid.channels,), np.float32)
+    gf = np.asarray(grid.feats)
+    m = np.asarray(sv.mask)
+    for b in range(sv.coords.shape[0]):
+        idx = m[b]
+        out[b, idx] = gf[b, ii[b, idx], jj[b, idx], kk[b, idx]]
+    return out
+
+
+def test_densify_roundtrip():
+    rng = np.random.default_rng(0)
+    sv = _sv(rng)
+    g = densify(sv, extent=(16, 16, 16))
+    assert int(g.mask.sum()) == int(sv.mask.sum())
+    back = _gather_dense(g, sv)
+    np.testing.assert_allclose(back[np.asarray(sv.mask)],
+                               np.asarray(sv.feats)[np.asarray(sv.mask)],
+                               rtol=1e-6)
+    # masked pools agree with sparse pools
+    np.testing.assert_allclose(np.asarray(grid_global_avg(g)),
+                               np.asarray(masked_global_avg(sv)), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_grid_conv_matches_sparse_conv():
+    rng = np.random.default_rng(1)
+    sv = _sv(rng, c=4)
+    svs, keys = sort_by_key(sv)
+    sconv = SparseConv(features=5, kernel_size=3, compute_dtype=jnp.float32)
+    svars = sconv.init(jax.random.PRNGKey(0), svs, keys)
+    sout, _ = sconv.apply(svars, svs, keys)
+
+    g = densify(svs, extent=(16, 16, 16))
+    dconv = GridConv(features=5, kernel_size=3, compute_dtype=jnp.float32)
+    dkern = np.asarray(svars["params"]["kernel"]).reshape(3, 3, 3, 4, 5)
+    dout = dconv.apply({"params": {"kernel": jnp.asarray(dkern)}}, g)
+
+    back = _gather_dense(dout, svs)
+    m = np.asarray(svs.mask)
+    np.testing.assert_allclose(back[m], np.asarray(sout.feats)[m],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_dense_fpn_matches_sparse_fpn():
+    """Full-backbone equivalence: same (mapped) weights, outputs agree at
+    occupied voxels, pooled descriptors agree."""
+    rng = np.random.default_rng(2)
+    sv = _sv(rng, b=2, n=48, span=4, c=1)
+    svs, keys = sort_by_key(sv)
+
+    sp = MinkFPN(out_channels=16, planes=(8, 8, 16), layers=(1, 1, 1),
+                 num_top_down=0, block="eca", train=False)
+    svars = sp.init(jax.random.PRNGKey(0), svs)
+    # force fp32 compute in the sparse path for exact comparison
+    import functools
+
+    sp32 = MinkFPN(out_channels=16, planes=(8, 8, 16), layers=(1, 1, 1),
+                   num_top_down=0, block="eca", train=False)
+    s_out, s_keys, _ = sp32.apply(svars, svs)
+
+    dn = DenseMinkFPN(out_channels=16, planes=(8, 8, 16), layers=(1, 1, 1),
+                      num_top_down=0, block="eca", train=False)
+
+    def map_params(tree, name=None):
+        if isinstance(tree, dict):
+            return {k: map_params(v, k) for k, v in tree.items()}
+        arr = np.asarray(tree)
+        if name == "kernel":
+            if arr.ndim == 2:  # 1x1x1 conv: [Ci, Co] -> [1,1,1,Ci,Co]
+                return jnp.asarray(arr.reshape(1, 1, 1, *arr.shape))
+            if arr.ndim == 3:  # [K, Ci, Co] -> [k,k,k,Ci,Co]
+                k = round(arr.shape[0] ** (1 / 3))
+                assert k ** 3 == arr.shape[0]
+                return jnp.asarray(
+                    arr.reshape(k, k, k, arr.shape[1], arr.shape[2]))
+        return jnp.asarray(arr)
+
+    dvars = {"params": map_params(svars["params"]),
+             "batch_stats": svars.get("batch_stats", {})}
+    g = densify(svs, extent=(16, 16, 16))
+    d_out, _ = dn.apply(dvars, g)
+
+    assert d_out.stride == s_out.stride == 8
+    # compare at occupied coarse voxels
+    back = _gather_dense(d_out, s_out)
+    m = np.asarray(s_out.mask)
+    got = np.asarray(s_out.feats)
+    # bf16 default compute in both paths: compare loosely
+    np.testing.assert_allclose(back[m], got[m], rtol=0.05, atol=0.05)
+
+    # pooled GeM descriptors agree
+    gem_s = MinkGeM()
+    vs = gem_s.init(jax.random.PRNGKey(1), s_out)
+    ps = gem_s.apply(vs, s_out)
+    gem_d = GridMinkGeM()
+    pd = gem_d.apply(vs, d_out)
+    np.testing.assert_allclose(np.asarray(pd), np.asarray(ps), rtol=0.05,
+                               atol=0.05)
+
+
+def test_grid_strided_conv_mask():
+    rng = np.random.default_rng(3)
+    sv = _sv(rng, c=2)
+    g = densify(sv, extent=(16, 16, 16))
+    conv = GridConv(features=4, kernel_size=2, stride=2)
+    v = conv.init(jax.random.PRNGKey(0), g)
+    out = conv.apply(v, g)
+    assert out.mask.shape == (2, 8, 8, 8)
+    assert out.stride == 2
+    # occupied parent iff any child occupied
+    m = np.asarray(g.mask).reshape(2, 8, 2, 8, 2, 8, 2).any(axis=(2, 4, 6))
+    np.testing.assert_array_equal(np.asarray(out.mask), m)
+
+
+def test_grid_global_max():
+    rng = np.random.default_rng(4)
+    sv = _sv(rng, c=4)
+    g = densify(sv, extent=(16, 16, 16))
+    mx = np.asarray(grid_global_max(g))
+    f = np.asarray(sv.feats)
+    m = np.asarray(sv.mask)
+    for b in range(2):
+        np.testing.assert_allclose(mx[b], f[b][m[b]].max(0), rtol=1e-5)
