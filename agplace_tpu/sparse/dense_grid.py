@@ -102,6 +102,9 @@ class GridConv(nn.Module):
     stride: int = 1
     use_bias: bool = False
     compute_dtype: Any = jnp.bfloat16
+    # skip the output masking when the consumer re-masks anyway (masked BN
+    # right after): saves a full read+write of the grid buffer
+    mask_output: bool = True
 
     @nn.compact
     def __call__(self, g: DenseVoxelGrid) -> DenseVoxelGrid:
@@ -136,7 +139,8 @@ class GridConv(nn.Module):
         if self.use_bias:
             out = out + self.param("bias", nn.initializers.zeros,
                                    (self.features,))
-        out = _mask_feats(out, out_mask)
+        if self.mask_output:
+            out = _mask_feats(out, out_mask)
         return DenseVoxelGrid(feats=out, mask=out_mask,
                               stride=g.stride * s)
 
@@ -173,10 +177,14 @@ class GridBatchNorm(nn.Module):
                                  + (1 - self.momentum) * mean)
                 ra_var.value = (self.momentum * ra_var.value
                                 + (1 - self.momentum) * var)
+        # fused affine in the input dtype: out = feats*scale' + bias'; the
+        # naive (feats - mean)*inv*scale + bias promotes the whole grid
+        # buffer to fp32 (two extra multi-GB round trips)
         inv = jax.lax.rsqrt(var + self.epsilon)
-        out = (g.feats - mean) * inv * scale + bias
-        return g.replace(feats=_mask_feats(out.astype(g.feats.dtype),
-                                           g.mask))
+        eff_scale = (inv * scale).astype(g.feats.dtype)
+        eff_bias = (bias - mean * inv * scale).astype(g.feats.dtype)
+        out = g.feats * eff_scale + eff_bias
+        return g.replace(feats=_mask_feats(out, g.mask))
 
 
 class GridECALayer(nn.Module):
@@ -214,14 +222,17 @@ class GridECABasicBlock(nn.Module):
                                  axis_name=self.axis_name, name=name)
 
         residual = g
-        out = GridConv(self.planes, kernel_size=3, name="conv1")(g)
+        out = GridConv(self.planes, kernel_size=3, mask_output=False,
+                       name="conv1")(g)
         out = bn("norm1")(out)
         out = out.replace(feats=_mask_feats(nn.relu(out.feats), out.mask))
-        out = GridConv(self.planes, kernel_size=3, name="conv2")(out)
+        out = GridConv(self.planes, kernel_size=3, mask_output=False,
+                       name="conv2")(out)
         out = bn("norm2")(out)
         out = GridECALayer(self.planes, name="eca")(out)
         if residual.channels != self.planes:
             residual = GridConv(self.planes, kernel_size=1,
+                                mask_output=False,
                                 name="downsample_conv")(residual)
             residual = bn("downsample_bn")(residual)
         feats = nn.relu(out.feats + residual.feats)
@@ -240,13 +251,16 @@ class GridBasicBlock(nn.Module):
                                  axis_name=self.axis_name, name=name)
 
         residual = g
-        out = GridConv(self.planes, kernel_size=3, name="conv1")(g)
+        out = GridConv(self.planes, kernel_size=3, mask_output=False,
+                       name="conv1")(g)
         out = bn("norm1")(out)
         out = out.replace(feats=_mask_feats(nn.relu(out.feats), out.mask))
-        out = GridConv(self.planes, kernel_size=3, name="conv2")(out)
+        out = GridConv(self.planes, kernel_size=3, mask_output=False,
+                       name="conv2")(out)
         out = bn("norm2")(out)
         if residual.channels != self.planes:
             residual = GridConv(self.planes, kernel_size=1,
+                                mask_output=False,
                                 name="downsample_conv")(residual)
             residual = bn("downsample_bn")(residual)
         feats = nn.relu(out.feats + residual.feats)
@@ -326,7 +340,7 @@ class DenseMinkFPN(nn.Module):
                                  axis_name=self.axis_name, name=name)
 
         g = GridConv(self.planes[0], kernel_size=self.conv0_kernel_size,
-                     name="conv0")(g)
+                     mask_output=False, name="conv0")(g)
         g = bn("bn0")(g)
         g = g.replace(feats=_mask_feats(nn.relu(g.feats), g.mask))
 
@@ -336,7 +350,7 @@ class DenseMinkFPN(nn.Module):
         out_maps = []
         for i in range(n_stages):
             g = GridConv(g.channels, kernel_size=2, stride=2,
-                         name=f"down{i}")(g)
+                         mask_output=False, name=f"down{i}")(g)
             g = bn(f"down_bn{i}")(g)
             g = g.replace(feats=_mask_feats(nn.relu(g.feats), g.mask))
             for b in range(self.layers[i]):

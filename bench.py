@@ -56,18 +56,25 @@ def main() -> None:
     def embed(v, im, vx):
         return mm.apply(v, im, vx)["embedding"]
 
-    # NOTE: inputs must differ per call and outputs must be fetched — some
-    # remote-attached backends memoise identical dispatches and return from
-    # block_until_ready before execution completes.
-    scales = [jnp.float32(1.0 + i * 1e-6) for i in range(WARMUP + ITERS)]
-    for i in range(WARMUP):
-        np.asarray(embed(variables, images * scales[i], vox))
+    # NOTE: inputs must differ per call and completion must be forced by a
+    # host fetch — some remote-attached backends memoise identical dispatches
+    # and return from block_until_ready before execution completes.  Chain
+    # iterations on-device (a scalar of output i perturbs input i+1) so the
+    # loop measures pure device throughput with a single final fetch.
+    @jax.jit
+    def step(y):
+        emb = embed(variables, images * (1.0 + 1e-9 * y), vox)
+        return emb[0, 0].astype(jnp.float32)
+
+    y = jnp.float32(0.0)
+    for _ in range(WARMUP):
+        y = step(y)
+    float(y)
 
     t0 = time.perf_counter()
-    outs = [embed(variables, images * scales[WARMUP + i], vox)
-            for i in range(ITERS)]  # queue asynchronously, then drain
-    for o in outs:
-        np.asarray(o)
+    for _ in range(ITERS):
+        y = step(y)
+    float(y)  # forces the whole chain
     dt = time.perf_counter() - t0
 
     desc_per_sec = BATCH * ITERS / dt
