@@ -92,7 +92,8 @@ def build_index(dataroot: str, split: str, traindownsample: int = 4,
             data = nusc.get("sample_data", sample["data"][sensor])
             paths[sensor] = data["filename"]
         queries.append({
-            "token": sample["token"], "location": location,
+            "token": sample["token"], "prev": sample["prev"],
+            "next": sample["next"], "location": location,
             "east": float(east), "north": float(north), "paths": paths,
         })
     index = {"version": version, "split": split, "queries": queries}
@@ -100,6 +101,38 @@ def build_index(dataroot: str, split: str, traindownsample: int = 4,
         with open(out_path, "w") as f:
             json.dump(index, f)
     return index
+
+
+def get_seq_sample_tokens(queries_by_token: Dict[str, Dict], token: str,
+                          seq_len: int, current_frame_type: str = "new"
+                          ) -> List[str]:
+    """Temporal sample-token chains (``datasets_ws_nuscenes.py:650-724``):
+    'new' = the token is the newest frame (walk prev), 'old' = oldest (walk
+    next), 'mid' = centred.  Chains saturate at scene boundaries, exactly as
+    the reference (empty prev/next repeats the current token)."""
+
+    def step(tok: str, key: str) -> str:
+        nxt = queries_by_token.get(tok, {}).get(key, "")
+        return nxt if nxt and nxt in queries_by_token else tok
+
+    if current_frame_type == "new":
+        out = [token]
+        for _ in range(seq_len - 1):
+            out.insert(0, step(out[0], "prev"))
+        return out
+    if current_frame_type == "old":
+        out = [token]
+        for _ in range(seq_len - 1):
+            out.append(step(out[-1], "next"))
+        return out
+    if current_frame_type == "mid":
+        out = [token]
+        for _ in range(seq_len // 2):
+            out.insert(0, step(out[0], "prev"))
+        for _ in range(seq_len // 2):
+            out.append(step(out[-1], "next"))
+        return out
+    raise NotImplementedError(current_frame_type)
 
 
 class NuScenesDataset(PlaceDataset):

@@ -1,0 +1,65 @@
+"""NetVLAD centroid initialisation from dataset descriptors — the intended
+behaviour of ``initialize_netvlad_layer`` at ``/root/reference/train.py:156-161``
++ ``model/aggregation.py:106-140`` (which would crash on the live towers,
+SURVEY.md §7.5): sample images, extract backbone patch descriptors, k-means
+them (faiss in the reference; the JAX solver here), and set the NetVLAD
+centroids + soft-assign conv from the clusters.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from agplace_tpu.models.pooling import NetVLAD
+from agplace_tpu.retrieval.kmeans import kmeans
+
+
+def initialize_netvlad(
+    variables: Dict,
+    backbone_apply: Callable[[np.ndarray], jax.Array],
+    sample_images: np.ndarray,  # [N, H, W, 3]
+    clusters_num: int = 64,
+    descriptors_per_image: int = 100,
+    netvlad_path: str = "aggregation/netvlad",
+    seed: int = 0,
+    alpha: float = 100.0,
+) -> Dict:
+    """Returns a new variables dict with the NetVLAD params initialised.
+
+    ``backbone_apply(images) -> [B, H', W', C]`` feature maps;
+    ``netvlad_path``: '/'-separated path of the NetVLAD module inside
+    ``variables['params']``.
+    """
+    rng = np.random.default_rng(seed)
+    descs = []
+    bs = 8
+    for s in range(0, len(sample_images), bs):
+        fm = np.asarray(backbone_apply(sample_images[s : s + bs]))
+        b, h, w, c = fm.shape
+        flat = fm.reshape(b, h * w, c)
+        # per-descriptor L2 norm then random subsample (aggregation.py:112)
+        flat = flat / np.maximum(
+            np.linalg.norm(flat, axis=-1, keepdims=True), 1e-12)
+        for i in range(b):
+            take = rng.choice(h * w, size=min(descriptors_per_image, h * w),
+                              replace=False)
+            descs.append(flat[i, take])
+    descs = np.concatenate(descs).astype(np.float32)
+
+    centroids, _ = kmeans(jax.random.PRNGKey(seed), jnp.asarray(descs),
+                          clusters_num)
+    # walk to the netvlad params and replace
+    params = jax.tree_util.tree_map(lambda x: x, variables["params"])
+    node = params
+    keys = netvlad_path.split("/")
+    for k in keys[:-1]:
+        node = node[k]
+    node[keys[-1]] = NetVLAD.init_from_kmeans(
+        node[keys[-1]], np.asarray(centroids), alpha=alpha)
+    out = dict(variables)
+    out["params"] = params
+    return out
