@@ -59,6 +59,66 @@ class ConvNeXtTinyFeatures(nn.Module):
         return x, maps
 
 
+class FireModule(nn.Module):
+    """SqueezeNet fire module: squeeze 1x1 -> expand 1x1 + 3x3 concat."""
+
+    squeeze: int
+    expand: int
+
+    @nn.compact
+    def __call__(self, x):
+        s = nn.relu(nn.Conv(self.squeeze, (1, 1), name="squeeze")(x))
+        e1 = nn.relu(nn.Conv(self.expand, (1, 1), name="expand1")(s))
+        e3 = nn.relu(nn.Conv(self.expand, (3, 3), padding=1,
+                             name="expand3")(s))
+        return jnp.concatenate([e1, e3], axis=-1)
+
+
+class SqueezeNetFeatures(nn.Module):
+    """squeezenet1_0 / 1_1 conv trunks + the reference's 1x1 512->256 head
+    (``image_fe.py:48-55``)."""
+
+    version: str = "1_1"
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        maps = []
+        if self.version == "1_0":
+            x = nn.relu(nn.Conv(96, (7, 7), strides=(2, 2),
+                                name="conv0")(x))
+            x = nn.max_pool(x, (3, 3), strides=(2, 2))
+            for i, (s, e) in enumerate([(16, 64), (16, 64), (32, 128)]):
+                x = FireModule(s, e, name=f"fire{i}")(x)
+            maps.append(x)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2))
+            for i, (s, e) in enumerate([(32, 128), (48, 192), (48, 192),
+                                        (64, 256)]):
+                x = FireModule(s, e, name=f"fire{i + 3}")(x)
+            maps.append(x)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2))
+            x = FireModule(64, 256, name="fire7")(x)
+        else:
+            x = nn.relu(nn.Conv(64, (3, 3), strides=(2, 2),
+                                name="conv0")(x))
+            x = nn.max_pool(x, (3, 3), strides=(2, 2))
+            x = FireModule(16, 64, name="fire0")(x)
+            x = FireModule(16, 64, name="fire1")(x)
+            maps.append(x)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2))
+            x = FireModule(32, 128, name="fire2")(x)
+            x = FireModule(32, 128, name="fire3")(x)
+            maps.append(x)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2))
+            for i, (s, e) in enumerate([(48, 192), (48, 192), (64, 256),
+                                        (64, 256)]):
+                x = FireModule(s, e, name=f"fire{i + 4}")(x)
+        # reference adds a 1x1 512->256 head (image_fe.py:50,54)
+        x = nn.Conv(256, (1, 1), name="fc")(x)
+        maps.append(x)
+        return x, maps
+
+
 class ImageFE(nn.Module):
     """Backbone registry keyed by the reference's ``--mm_imgfe`` /
     ``--dbimage_fe`` flags.  ``layers`` controls truncation: len(layers)
@@ -85,6 +145,10 @@ class ImageFE(nn.Module):
         if self.fe_type == "convnext_tiny":
             return ConvNeXtTinyFeatures(layers=self.layers, train=self.train,
                                         name="fe")(x)
+        if self.fe_type in ("squeezenet10", "squeezenet11"):
+            return SqueezeNetFeatures(
+                version="1_0" if self.fe_type == "squeezenet10" else "1_1",
+                train=self.train, name="fe")(x)
         raise NotImplementedError(f"fe_type={self.fe_type}")
 
     @staticmethod
@@ -93,6 +157,8 @@ class ImageFE(nn.Module):
             return ResNetFeatures.last_dim(fe_type, len(layers))
         if fe_type == "convnext_tiny":
             return (96, 192, 384, 768)[min(len(layers), 4) - 1]
+        if fe_type in ("squeezenet10", "squeezenet11"):
+            return 256
         raise NotImplementedError(fe_type)
 
     @staticmethod

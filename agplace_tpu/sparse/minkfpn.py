@@ -30,6 +30,11 @@ from agplace_tpu.sparse.voxels import SparseVoxels, sort_by_key
 
 _BLOCKS = {"eca": ECABasicBlock, "basic": SparseBasicBlock}
 
+# GeneralMinkFPN (reference models/minkfpn.py:131-205) — the plain pyramid
+# without lateral/top-down wiring — is MinkFPN with num_top_down=0 (the
+# live default); use `MinkFPN(..., num_top_down=0)` and take the first
+# return value.
+
 
 class MinkFPN(nn.Module):
     out_channels: int = 256

@@ -85,9 +85,20 @@ def train(
             )
             with timer("train"):
                 for batch in loader:
+                    # flag-gated profiler trace of the first N steps
+                    # (SURVEY.md §5.1: the reference has no tracing at all)
+                    if (cfg.train.profile_steps > 0
+                            and steps_done == 0 and epoch == start_epoch):
+                        jax.profiler.start_trace(
+                            f"{cfg.train.save_dir}/profile")
                     state, m = train_step(state, batch)
                     epoch_losses.append(float(m["loss"]))
                     steps_done += 1
+                    if (cfg.train.profile_steps > 0
+                            and steps_done == cfg.train.profile_steps):
+                        jax.profiler.stop_trace()
+                        log.info("profiler trace written to %s/profile",
+                                 cfg.train.save_dir)
                     if max_steps is not None and steps_done >= max_steps:
                         break
             if max_steps is not None and steps_done >= max_steps:
