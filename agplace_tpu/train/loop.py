@@ -61,6 +61,7 @@ def train(
 
     history = []
     steps_done = 0
+    profiling = False
     for epoch in range(start_epoch, cfg.train.epochs_num):
         t0 = time.time()
         epoch_losses = []
@@ -91,12 +92,13 @@ def train(
                             and steps_done == 0 and epoch == start_epoch):
                         jax.profiler.start_trace(
                             f"{cfg.train.save_dir}/profile")
+                        profiling = True
                     state, m = train_step(state, batch)
                     epoch_losses.append(float(m["loss"]))
                     steps_done += 1
-                    if (cfg.train.profile_steps > 0
-                            and steps_done == cfg.train.profile_steps):
+                    if profiling and steps_done >= cfg.train.profile_steps:
                         jax.profiler.stop_trace()
+                        profiling = False
                         log.info("profiler trace written to %s/profile",
                                  cfg.train.save_dir)
                     if max_steps is not None and steps_done >= max_steps:
@@ -127,6 +129,9 @@ def train(
                       not_improved_num=0, is_best=is_best)
         if max_steps is not None and steps_done >= max_steps:
             break
+
+    if profiling:  # training ended before profile_steps: flush the trace
+        jax.profiler.stop_trace()
 
     return {
         "state": state,
