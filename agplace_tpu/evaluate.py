@@ -35,14 +35,20 @@ def extract_features(
     bs = cfg.train.infer_batch_size
     dim = cfg.model.features_dim
 
-    db_feats = np.empty((ds.database_num, dim), np.float32)
+    # batches are queued asynchronously (device arrays collected, fetched in
+    # one drain at the end) — per-batch host fetches serialize on
+    # remote-attached backends (~25 ms round trip each)
+    db_parts, db_keep = [], []
     for s in range(0, ds.database_num, bs):
         idx = list(range(s, min(s + bs, ds.database_num)))
         pad = bs - len(idx)
         chunk = idx + [idx[-1]] * pad
         maps = collate_cache_db(ds, chunk)
-        f = np.asarray(embed_db(params, batch_stats, maps))
-        db_feats[s : s + len(idx)] = f[: len(idx)]
+        db_parts.append(embed_db(params, batch_stats, maps))
+        db_keep.append(len(idx))
+    db_feats = np.concatenate(
+        [np.asarray(p)[:k] for p, k in zip(db_parts, db_keep)]
+    ) if db_parts else np.empty((0, dim), np.float32)
 
     crop_methods = ("five_crops", "nearest_crop", "maj_voting")
     use_crops = (cfg.eval.test_method in crop_methods
@@ -67,14 +73,17 @@ def extract_features(
             f = f.reshape(bs, 5, dim)[: len(idx)].reshape(-1, dim)
             q_feats[5 * s : 5 * s + len(f)] = f
     else:
-        q_feats = np.empty((ds.queries_num, dim), np.float32)
+        q_parts, q_keep = [], []
         for s in range(0, ds.queries_num, bs):
             idx = list(range(s, min(s + bs, ds.queries_num)))
             pad = bs - len(idx)
             chunk = idx + [idx[-1]] * pad
             images, vox = collate_cache_q(ds, chunk, cfg)
-            f = np.asarray(embed_queries(params, batch_stats, images, vox))
-            q_feats[s : s + len(idx)] = f[: len(idx)]
+            q_parts.append(embed_queries(params, batch_stats, images, vox))
+            q_keep.append(len(idx))
+        q_feats = np.concatenate(
+            [np.asarray(p)[:k] for p, k in zip(q_parts, q_keep)]
+        ) if q_parts else np.empty((0, dim), np.float32)
     return q_feats, db_feats
 
 

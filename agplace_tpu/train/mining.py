@@ -28,8 +28,9 @@ from agplace_tpu.retrieval.knn import pairwise_sq_l2
 
 
 def _batched_embed_db(ds, indices, embed_db, params, batch_stats, bs):
-    out = np.empty((len(indices), 0), np.float32)
-    feats = []
+    # queue all batches on device, fetch once (per-batch host fetches
+    # serialize on remote-attached backends)
+    parts, keeps = [], []
     for s in range(0, len(indices), bs):
         chunk = list(indices[s : s + bs])
         pad = 0
@@ -37,13 +38,15 @@ def _batched_embed_db(ds, indices, embed_db, params, batch_stats, bs):
             pad = bs - len(chunk)
             chunk = chunk + [chunk[-1]] * pad
         maps = collate_cache_db(ds, chunk)
-        f = np.asarray(embed_db(params, batch_stats, maps))
-        feats.append(f[: bs - pad])
-    return np.concatenate(feats) if feats else out
+        parts.append(embed_db(params, batch_stats, maps))
+        keeps.append(bs - pad)
+    if not parts:
+        return np.empty((0, 0), np.float32)
+    return np.concatenate([np.asarray(p)[:k] for p, k in zip(parts, keeps)])
 
 
 def _batched_embed_q(ds, indices, embed_q, params, batch_stats, bs, cfg):
-    feats = []
+    parts, keeps = [], []
     for s in range(0, len(indices), bs):
         chunk = list(indices[s : s + bs])
         pad = 0
@@ -51,9 +54,11 @@ def _batched_embed_q(ds, indices, embed_q, params, batch_stats, bs, cfg):
             pad = bs - len(chunk)
             chunk = chunk + [chunk[-1]] * pad
         images, vox = collate_cache_q(ds, chunk, cfg)
-        f = np.asarray(embed_q(params, batch_stats, images, vox))
-        feats.append(f[: bs - pad])
-    return np.concatenate(feats) if feats else np.empty((0, 0), np.float32)
+        parts.append(embed_q(params, batch_stats, images, vox))
+        keeps.append(bs - pad)
+    if not parts:
+        return np.empty((0, 0), np.float32)
+    return np.concatenate([np.asarray(p)[:k] for p, k in zip(parts, keeps)])
 
 
 @functools.partial(jax.jit, static_argnames=("n_hard",))
