@@ -14,6 +14,11 @@ import numpy as np
 
 from agplace_tpu.config import Config
 from agplace_tpu.data.base import PlaceDataset, collate_cache_db, collate_cache_q
+from agplace_tpu.embed import (
+    batched_embed_db,
+    batched_embed_q,
+    batched_embed_q_crops,
+)
 from agplace_tpu.retrieval.knn import l2_topk_blocked
 from agplace_tpu.retrieval.recall import (
     compute_recalls,
@@ -35,55 +40,21 @@ def extract_features(
     bs = cfg.train.infer_batch_size
     dim = cfg.model.features_dim
 
-    # batches are queued asynchronously (device arrays collected, fetched in
-    # one drain at the end) — per-batch host fetches serialize on
-    # remote-attached backends (~25 ms round trip each)
-    db_parts, db_keep = [], []
-    for s in range(0, ds.database_num, bs):
-        idx = list(range(s, min(s + bs, ds.database_num)))
-        pad = bs - len(idx)
-        chunk = idx + [idx[-1]] * pad
-        maps = collate_cache_db(ds, chunk)
-        db_parts.append(embed_db(params, batch_stats, maps))
-        db_keep.append(len(idx))
-    db_feats = np.concatenate(
-        [np.asarray(p)[:k] for p, k in zip(db_parts, db_keep)]
-    ) if db_parts else np.empty((0, dim), np.float32)
+    db_feats = batched_embed_db(ds, list(range(ds.database_num)), embed_db,
+                                params, batch_stats, bs)
 
     crop_methods = ("five_crops", "nearest_crop", "maj_voting")
     use_crops = (cfg.eval.test_method in crop_methods
                  and hasattr(ds, "load_query_crops"))
     if use_crops:
         # 5 descriptors per query, crop-major rows (test.py:159-172)
-        q_feats = np.empty((5 * ds.queries_num, dim), np.float32)
-        from agplace_tpu.sparse.voxels import batched_from_pointclouds
-
-        for s in range(0, ds.queries_num, bs):
-            idx = list(range(s, min(s + bs, ds.queries_num)))
-            pad = bs - len(idx)
-            chunk = idx + [idx[-1]] * pad
-            crops = np.stack([ds.load_query_crops(i, cfg.data.q_resize)
-                              for i in chunk])  # [bs, 5, H, W, 3]
-            pts = np.stack([ds.load_query_points(i) for i in chunk])
-            pts5 = np.repeat(pts, 5, axis=0)
-            vox = batched_from_pointclouds(pts5, cfg.data.quant_size,
-                                           cfg.data.vox_max_points)
-            flat = crops.reshape(-1, *crops.shape[2:])  # [bs*5, H, W, 3]
-            f = np.asarray(embed_queries(params, batch_stats, flat, vox))
-            f = f.reshape(bs, 5, dim)[: len(idx)].reshape(-1, dim)
-            q_feats[5 * s : 5 * s + len(f)] = f
+        q_feats = batched_embed_q_crops(ds, list(range(ds.queries_num)),
+                                        embed_queries, params, batch_stats,
+                                        bs, cfg)
     else:
-        q_parts, q_keep = [], []
-        for s in range(0, ds.queries_num, bs):
-            idx = list(range(s, min(s + bs, ds.queries_num)))
-            pad = bs - len(idx)
-            chunk = idx + [idx[-1]] * pad
-            images, vox = collate_cache_q(ds, chunk, cfg)
-            q_parts.append(embed_queries(params, batch_stats, images, vox))
-            q_keep.append(len(idx))
-        q_feats = np.concatenate(
-            [np.asarray(p)[:k] for p, k in zip(q_parts, q_keep)]
-        ) if q_parts else np.empty((0, dim), np.float32)
+        q_feats = batched_embed_q(ds, list(range(ds.queries_num)),
+                                  embed_queries, params, batch_stats, bs,
+                                  cfg)
     return q_feats, db_feats
 
 

@@ -18,47 +18,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from agplace_tpu.config import Config
-from agplace_tpu.data.base import (
-    PlaceDataset,
-    collate_cache_db,
-    collate_cache_q,
-    pad_positives,
-)
+from agplace_tpu.data.base import PlaceDataset, pad_positives
+from agplace_tpu.embed import batched_embed_db, batched_embed_q
 from agplace_tpu.retrieval.knn import pairwise_sq_l2
-
-
-def _batched_embed_db(ds, indices, embed_db, params, batch_stats, bs):
-    # queue all batches on device, fetch once (per-batch host fetches
-    # serialize on remote-attached backends)
-    parts, keeps = [], []
-    for s in range(0, len(indices), bs):
-        chunk = list(indices[s : s + bs])
-        pad = 0
-        if len(chunk) < bs:
-            pad = bs - len(chunk)
-            chunk = chunk + [chunk[-1]] * pad
-        maps = collate_cache_db(ds, chunk)
-        parts.append(embed_db(params, batch_stats, maps))
-        keeps.append(bs - pad)
-    if not parts:
-        return np.empty((0, 0), np.float32)
-    return np.concatenate([np.asarray(p)[:k] for p, k in zip(parts, keeps)])
-
-
-def _batched_embed_q(ds, indices, embed_q, params, batch_stats, bs, cfg):
-    parts, keeps = [], []
-    for s in range(0, len(indices), bs):
-        chunk = list(indices[s : s + bs])
-        pad = 0
-        if len(chunk) < bs:
-            pad = bs - len(chunk)
-            chunk = chunk + [chunk[-1]] * pad
-        images, vox = collate_cache_q(ds, chunk, cfg)
-        parts.append(embed_q(params, batch_stats, images, vox))
-        keeps.append(bs - pad)
-    if not parts:
-        return np.empty((0, 0), np.float32)
-    return np.concatenate([np.asarray(p)[:k] for p, k in zip(parts, keeps)])
 
 
 @functools.partial(jax.jit, static_argnames=("n_hard",))
@@ -145,10 +107,10 @@ class TripletMiner:
         cache_ids = np.unique(np.concatenate([sampled_negs, all_pos]))
         slot_of = {int(g): i for i, g in enumerate(cache_ids)}
 
-        db_feats = _batched_embed_db(ds, cache_ids, embed_db, params,
-                                     batch_stats, bs)
-        q_feats = _batched_embed_q(ds, qs, embed_q, params, batch_stats, bs,
-                                   cfg)
+        db_feats = batched_embed_db(ds, cache_ids, embed_db, params,
+                                    batch_stats, bs)
+        q_feats = batched_embed_q(ds, qs, embed_q, params, batch_stats,
+                                  bs, cfg)
 
         pos_sets = [
             np.array([slot_of[int(g)] for g in ds.hard_positives_per_query[q]])
