@@ -117,6 +117,20 @@ class GridConv(nn.Module):
             (k, k, k, cin, self.features),
         )
         x = g.feats.astype(self.compute_dtype)
+        z_dim = g.feats.shape[3]
+        if k % 2 == 1 and s == 1 and z_dim <= max(k // 2, 1) + 1:
+            # z-fold fast path: with Z <= k//2+1 most z-taps hit padding; a
+            # banded 2D conv over [X, Y, Z*C] does strictly less work and
+            # maps better onto the MXU (exactly equivalent; tested).
+            out = self._zfold_conv(x, kern, k, z_dim)
+            out = out.astype(g.feats.dtype)
+            out_mask = g.mask
+            if self.use_bias:
+                out = out + self.param("bias", nn.initializers.zeros,
+                                       (self.features,))
+            if self.mask_output:
+                out = _mask_feats(out, out_mask)
+            return DenseVoxelGrid(feats=out, mask=out_mask, stride=g.stride)
         if k % 2 == 1 and s == 1:
             pad = [(k // 2, k // 2)] * 3
             out_mask = g.mask
@@ -143,6 +157,27 @@ class GridConv(nn.Module):
             out = _mask_feats(out, out_mask)
         return DenseVoxelGrid(feats=out, mask=out_mask,
                               stride=g.stride * s)
+
+    def _zfold_conv(self, x, kern, k: int, z: int):
+        """3D conv as a 2D conv with z folded into channels: the banded
+        kernel W2[a, b, (zi, ci), (zo, co)] = W3[a, b, zi-zo+k//2, ci, co]
+        (zero outside the band)."""
+        b_, xx, yy, _, cin = x.shape
+        kern = kern.astype(self.compute_dtype)
+        w2 = jnp.zeros((k, k, z, cin, z, self.features), kern.dtype)
+        for zo in range(z):
+            for dz in range(-(k // 2), k // 2 + 1):
+                zi = zo + dz
+                if 0 <= zi < z:
+                    w2 = w2.at[:, :, zi, :, zo, :].set(
+                        kern[:, :, dz + k // 2])
+        w2 = w2.reshape(k, k, z * cin, z * self.features)
+        out = jax.lax.conv_general_dilated(
+            x.reshape(b_, xx, yy, z * cin), w2,
+            window_strides=(1, 1), padding=[(k // 2, k // 2)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return out.reshape(b_, xx, yy, z, self.features)
 
 
 class GridBatchNorm(nn.Module):
