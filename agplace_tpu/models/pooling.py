@@ -94,9 +94,14 @@ class RMAC(nn.Module):
         return v
 
 
+def _l2n(v, axis=-1):
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=axis, keepdims=True),
+                           1e-12)
+
+
 class ConvAP(nn.Module):
-    """Conv 1x1 channel projection + spatial-pooled concat
-    (``network/image_pooling.py`` ConvAP)."""
+    """Conv 1x1 channel projection -> s1 x s2 adaptive avg pool -> flatten
+    -> L2 (``network/image_pooling.py:23-41``)."""
 
     out_channels: int = 256
     s1: int = 2
@@ -110,40 +115,42 @@ class ConvAP(nn.Module):
             window_shape=(x.shape[1] // self.s1, x.shape[2] // self.s2),
             strides=(x.shape[1] // self.s1, x.shape[2] // self.s2),
         )
-        return x.reshape(x.shape[0], -1)
+        return _l2n(x.reshape(x.shape[0], -1))
 
 
 class CosPlace(nn.Module):
-    """GeM -> linear projection -> L2 (``network/image_pooling.py`` CosPlace)."""
+    """channel-L2 -> GeM -> linear -> L2
+    (``network/image_pooling.py:44-63``)."""
 
     out_dim: int = 256
 
     @nn.compact
     def __call__(self, x):
+        x = _l2n(x)  # normalize descriptors across channels first
         v = GeM(name="gem")(x)
         v = nn.Dense(self.out_dim, name="fc")(v)
-        return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+        return _l2n(v)
 
 
 class FeatureMixerLayer(nn.Module):
-    dim: int
+    """Residual token mixer over the last axis (hw)
+    (``network/image_pooling.py:67-84``)."""
+
+    dim: int  # = hw
     mlp_ratio: float = 1.0
 
     @nn.compact
-    def __call__(self, x):  # [B, N, D] mixes over N
+    def __call__(self, x):  # [B, C, hw]
         y = nn.LayerNorm()(x)
-        y = jnp.swapaxes(y, -1, -2)
-        h = int(x.shape[-2] * self.mlp_ratio)
-        y = nn.Dense(h)(y)
+        y = nn.Dense(int(self.dim * self.mlp_ratio))(y)
         y = nn.relu(y)
-        y = nn.Dense(x.shape[-2])(y)
-        y = jnp.swapaxes(y, -1, -2)
+        y = nn.Dense(self.dim)(y)
         return x + y
 
 
 class MixVPR(nn.Module):
-    """MixVPR feature-mixer aggregation (``network/image_pooling.py`` MixVPR):
-    flatten spatial -> L stacked token mixers -> channel & row projections."""
+    """MixVPR feature-mixer aggregation (``network/image_pooling.py:87-126``):
+    [B,C,hw] -> L mixers over hw -> channel proj -> row proj -> flatten+L2."""
 
     in_channels: int = 256
     out_channels: int = 256
@@ -154,32 +161,33 @@ class MixVPR(nn.Module):
     @nn.compact
     def __call__(self, x):  # [B, H, W, C]
         b, h, w, c = x.shape
-        x = x.reshape(b, h * w, c)  # tokens = spatial sites
-        x = jnp.swapaxes(x, -1, -2)  # [B, C, N] mix over flattened spatial
+        x = x.reshape(b, h * w, c)
+        x = jnp.swapaxes(x, -1, -2)  # [B, C, hw]
         for i in range(self.mix_depth):
             x = FeatureMixerLayer(dim=h * w, mlp_ratio=self.mlp_ratio,
                                   name=f"mix_{i}")(x)
-        x = jnp.swapaxes(x, -1, -2)  # [B, N, C]
+        x = jnp.swapaxes(x, -1, -2)  # [B, hw, C]
         x = nn.Dense(self.out_channels, name="channel_proj")(x)
-        x = jnp.swapaxes(x, -1, -2)  # [B, C', N]
+        x = jnp.swapaxes(x, -1, -2)  # [B, C', hw]
         x = nn.Dense(self.out_rows, name="row_proj")(x)
-        return x.reshape(b, -1)
+        return _l2n(x.reshape(b, -1))
 
 
 class RRM(nn.Module):
-    """Residual retrieval module: GAP -> conv residual block -> L2
-    (``network/image_pooling.py`` RRM)."""
+    """Residual retrieval module: GAP -> LN -> residual MLP -> LN -> L2
+    (``model/aggregation.py:58-83`` / ``network/image_pooling.py:133-152``)."""
 
     dim: int = 256
 
     @nn.compact
     def __call__(self, x):
         v = jnp.mean(x, axis=(1, 2))
+        v = nn.LayerNorm(name="ln1")(v)
         h = nn.Dense(self.dim, name="fc1")(v)
         h = nn.relu(h)
         h = nn.Dense(self.dim, name="fc2")(h)
-        v = v + h
-        return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+        v = nn.LayerNorm(name="ln2")(v + h)
+        return _l2n(v)
 
 
 class NetVLAD(nn.Module):
