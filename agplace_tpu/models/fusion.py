@@ -48,6 +48,10 @@ class FCODE(nn.Module):
         w = self.param("kernel", nn.initializers.lecun_normal(),
                        (self.dim, self.dim))
         b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        # the ODE state is a small [B, dim] vector: integrate in fp32
+        # regardless of the tower's activation dtype (also keeps the scan
+        # carry dtype stable under bf16 inputs)
+        x = x.astype(jnp.float32)
 
         n_steps = max(int(-(-1.0 // self.ode.step_size)), 1)
         uniform_steps = abs(n_steps * self.ode.step_size - 1.0) < 1e-9
@@ -151,11 +155,13 @@ class BasicBlock2D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from agplace_tpu.models.norm import BatchNorm2D
+
         def bn(name):
-            return nn.BatchNorm(use_running_average=not self.train,
-                                momentum=0.9, epsilon=1e-5,
-                                axis_name=self.axis_name if self.train
-                                else None, name=name)
+            return BatchNorm2D(use_running_average=not self.train,
+                               momentum=0.9, epsilon=1e-5,
+                               axis_name=self.axis_name if self.train
+                               else None, name=name)
 
         identity = x
         out = nn.Conv(self.dim, (3, 3), padding=1, dtype=self.dtype,

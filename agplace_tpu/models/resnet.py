@@ -108,13 +108,16 @@ class ResNetFeatures(nn.Module):
     def __call__(self, x) -> Tuple[jnp.ndarray, Sequence[jnp.ndarray]]:
         block_cls, stage_sizes, expansion = _RESNET_SPECS[self.arch]
 
+        from agplace_tpu.models.norm import BatchNorm2D
+
         def norm(name=None):
-            # BN always computes in fp32 (stats stability under bf16 acts)
-            return nn.BatchNorm(
+            # fp32 statistics, fused affine in the activation dtype (flax
+            # BN with dtype=f32 would round-trip the whole buffer to fp32)
+            return BatchNorm2D(
                 use_running_average=not self.train,
                 momentum=0.9, epsilon=1e-5,
                 axis_name=self.axis_name if self.train else None,
-                dtype=jnp.float32, name=name,
+                name=name,
             )
 
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
