@@ -35,6 +35,10 @@ def test_data_parallel_train_step_matches_single_device():
     """The same train step, same batch: sharded over an 8-way data mesh vs
     unsharded must produce (numerically) the same updated params — GSPMD
     data parallelism with implicit gradient all-reduce and global BN."""
+    # this test compiles two large train-step executables; drop every
+    # compiled program accumulated by earlier tests first (running deep in
+    # the full suite otherwise aborts the CPU runtime with OOM)
+    jax.clear_caches()
     from agplace_tpu.data.base import collate_train
     from agplace_tpu.data.synthetic import SyntheticDataset
     from agplace_tpu.train.mining import TripletMiner
