@@ -34,11 +34,25 @@ def test_sharded_gallery_matches_single_device():
 def test_data_parallel_train_step_matches_single_device():
     """The same train step, same batch: sharded over an 8-way data mesh vs
     unsharded must produce (numerically) the same updated params — GSPMD
-    data parallelism with implicit gradient all-reduce and global BN."""
-    # this test compiles two large train-step executables; drop every
-    # compiled program accumulated by earlier tests first (running deep in
-    # the full suite otherwise aborts the CPU runtime with OOM)
-    jax.clear_caches()
+    data parallelism with implicit gradient all-reduce and global BN.
+
+    Runs in a fresh subprocess: it compiles two large train-step
+    executables, and the CPU runtime natively aborts when this happens deep
+    in a long-lived suite process (passes standalone every time).
+    """
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("AGP_DP_SUBPROC") != "1":
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q",
+             __file__ + "::test_data_parallel_train_step_matches_single_device"],
+            env={**os.environ, "AGP_DP_SUBPROC": "1"},
+            capture_output=True, text=True, timeout=1800,
+        )
+        assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-2000:]
+        return
     from agplace_tpu.data.base import collate_train
     from agplace_tpu.data.synthetic import SyntheticDataset
     from agplace_tpu.train.mining import TripletMiner
