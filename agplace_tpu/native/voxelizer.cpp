@@ -11,6 +11,7 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC -o libvoxelizer.so voxelizer.cpp -lpthread
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -21,20 +22,26 @@
 namespace {
 
 constexpr int kShift = 10;  // bits per axis in the packed key
+constexpr int kMask = (1 << kShift) - 1;
 
 inline int32_t pack(int x, int y, int z) {
   return ((x + 512) << (2 * kShift)) | ((y + 512) << kShift) | (z + 512);
 }
 
+// Canonical overflow rule (shared by quantize()/numpy fallback/this file):
+// keep the lexicographically-smallest `capacity` unique voxel coordinates,
+// emitted in ascending packed-key order — identical output arrays across all
+// three backends, independent of point scan order.
 void voxelize_one(const float* pts, int64_t n_points, float quant,
                   int capacity, int grid_radius, int32_t* out_coords,
                   uint8_t* out_mask) {
   std::unordered_set<int32_t> seen;
   seen.reserve(static_cast<size_t>(capacity) * 2);
+  std::vector<int32_t> keys;
+  keys.reserve(static_cast<size_t>(capacity) * 2);
   const float inv = 1.0f / quant;
   const int lo = -grid_radius + 1, hi = grid_radius - 1;
-  int count = 0;
-  for (int64_t i = 0; i < n_points && count < capacity; ++i) {
+  for (int64_t i = 0; i < n_points; ++i) {
     const float px = pts[i * 3], py = pts[i * 3 + 1], pz = pts[i * 3 + 2];
     if (!std::isfinite(px) || !std::isfinite(py) || !std::isfinite(pz))
       continue;  // NaN padding rows
@@ -45,13 +52,20 @@ void voxelize_one(const float* pts, int64_t n_points, float quant,
     y = y < lo ? lo : (y > hi ? hi : y);
     z = z < lo ? lo : (z > hi ? hi : z);
     const int32_t key = pack(x, y, z);
-    if (seen.insert(key).second) {
-      out_coords[count * 3] = x;
-      out_coords[count * 3 + 1] = y;
-      out_coords[count * 3 + 2] = z;
-      out_mask[count] = 1;
-      ++count;
-    }
+    if (seen.insert(key).second) keys.push_back(key);
+  }
+  if (static_cast<int>(keys.size()) > capacity) {
+    std::nth_element(keys.begin(), keys.begin() + capacity, keys.end());
+    keys.resize(capacity);
+  }
+  std::sort(keys.begin(), keys.end());
+  const int count = static_cast<int>(keys.size());
+  for (int i = 0; i < count; ++i) {
+    const int32_t key = keys[i];
+    out_coords[i * 3] = ((key >> (2 * kShift)) & kMask) - 512;
+    out_coords[i * 3 + 1] = ((key >> kShift) & kMask) - 512;
+    out_coords[i * 3 + 2] = (key & kMask) - 512;
+    out_mask[i] = 1;
   }
   // zero the padded tail
   std::memset(out_coords + count * 3, 0,

@@ -32,8 +32,12 @@ class CheckpointManager:
              recalls: Optional[np.ndarray], best_r5: float,
              not_improved_num: int, is_best: bool,
              filename: Optional[str] = None) -> str:
-        name = filename or f"ep@{epoch_num}__r1@{recalls[0]:.0f}" \
-            if recalls is not None else f"ep@{epoch_num}"
+        if filename is not None:
+            name = filename
+        elif recalls is not None:
+            name = f"ep@{epoch_num}__r1@{recalls[0]:.0f}"
+        else:
+            name = f"ep@{epoch_num}"
         payload = {
             "epoch_num": epoch_num,
             "state": state,

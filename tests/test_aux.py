@@ -93,3 +93,25 @@ def test_make_rngs_deterministic():
     b = make_rngs(0, "x", "y")
     assert (np.asarray(a["x"]) == np.asarray(b["x"])).all()
     assert not (np.asarray(a["x"]) == np.asarray(a["y"])).all()
+
+
+def test_checkpoint_explicit_filename_precedence(tmp_path):
+    """Regression: an explicit ``filename`` must win regardless of whether
+    recalls is None (round-1 ternary-precedence bug, checkpoint.py)."""
+    from agplace_tpu.train.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(str(tmp_path))
+    state = {"w": np.zeros(3, np.float32)}
+    p1 = ckpt.save(state, epoch_num=3, recalls=None, best_r5=0.0,
+                   not_improved_num=0, is_best=False, filename="custom_name")
+    assert os.path.basename(p1) == "custom_name"
+    p2 = ckpt.save(state, epoch_num=3, recalls=np.array([9.0, 1, 1, 1]),
+                   best_r5=0.0, not_improved_num=0, is_best=False,
+                   filename="custom2")
+    assert os.path.basename(p2) == "custom2"
+    p3 = ckpt.save(state, epoch_num=3, recalls=None, best_r5=0.0,
+                   not_improved_num=0, is_best=False)
+    assert os.path.basename(p3) == "ep@3"
+    p4 = ckpt.save(state, epoch_num=3, recalls=np.array([9.0, 1, 1, 1]),
+                   best_r5=0.0, not_improved_num=0, is_best=False)
+    assert os.path.basename(p4) == "ep@3__r1@9"
