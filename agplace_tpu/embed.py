@@ -4,11 +4,15 @@ Queue/drain pattern for remote-attached backends: all batches are dispatched
 asynchronously, trimmed and concatenated ON DEVICE, and fetched with a
 single host transfer (per-batch fetches serialize at ~25 ms round trip
 each).
+
+With a ``mesh``, each batch is placed with its leading axis sharded over the
+``data`` mesh axis so the jitted embed fns run data-parallel across chips —
+the reference's cache/eval passes are single-GPU (``test.py:109-176``).
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np
@@ -24,22 +28,32 @@ def _drain(parts, keeps) -> np.ndarray:
         jnp.concatenate([p[:k] for p, k in zip(parts, keeps)]))
 
 
+def _put(batch, mesh):
+    if mesh is None:
+        return batch
+    from agplace_tpu.parallel.mesh import shard_batch
+
+    return shard_batch(mesh, batch)
+
+
 def batched_embed_db(ds: PlaceDataset, indices: Sequence[int], embed_db,
-                     params, batch_stats, bs: int) -> np.ndarray:
+                     params, batch_stats, bs: int,
+                     mesh=None) -> np.ndarray:
     parts, keeps = [], []
     for s in range(0, len(indices), bs):
         chunk = list(indices[s : s + bs])
         keep = len(chunk)
         if keep < bs:
             chunk = chunk + [chunk[-1]] * (bs - keep)
-        maps = collate_cache_db(ds, chunk)
+        maps = _put(collate_cache_db(ds, chunk), mesh)
         parts.append(embed_db(params, batch_stats, maps))
         keeps.append(keep)
     return _drain(parts, keeps)
 
 
 def batched_embed_q(ds: PlaceDataset, indices: Sequence[int], embed_q,
-                    params, batch_stats, bs: int, cfg: Config) -> np.ndarray:
+                    params, batch_stats, bs: int, cfg: Config,
+                    mesh=None) -> np.ndarray:
     parts, keeps = [], []
     for s in range(0, len(indices), bs):
         chunk = list(indices[s : s + bs])
@@ -47,6 +61,7 @@ def batched_embed_q(ds: PlaceDataset, indices: Sequence[int], embed_q,
         if keep < bs:
             chunk = chunk + [chunk[-1]] * (bs - keep)
         images, vox = collate_cache_q(ds, chunk, cfg)
+        images, vox = _put(images, mesh), _put(vox, mesh)
         parts.append(embed_q(params, batch_stats, images, vox))
         keeps.append(keep)
     return _drain(parts, keeps)

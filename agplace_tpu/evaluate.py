@@ -27,6 +27,24 @@ from agplace_tpu.retrieval.recall import (
 )
 
 
+def _topk(q_feats, db_feats, k: int, gallery_mesh=None):
+    """Exact L2 top-k: mesh-sharded over the ``gallery`` axis when a
+    multi-device gallery mesh is given (BASELINE config 5: 100k+ tiles),
+    single-device blocked matmul otherwise."""
+    if gallery_mesh is not None and gallery_mesh.shape.get("gallery", 1) > 1:
+        from agplace_tpu.retrieval.sharded import (
+            shard_gallery,
+            sharded_l2_topk,
+        )
+
+        db_sh = shard_gallery(gallery_mesh, db_feats)
+        d, i = sharded_l2_topk(gallery_mesh,
+                               jnp.asarray(np.asarray(q_feats)), db_sh, k)
+        return np.asarray(d), np.asarray(i)
+    d, i = l2_topk_blocked(q_feats, jnp.asarray(db_feats), k)
+    return np.asarray(d), np.asarray(i)
+
+
 def extract_features(
     cfg: Config,
     ds: PlaceDataset,
@@ -34,14 +52,16 @@ def extract_features(
     batch_stats,
     embed_queries,
     embed_db,
+    mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Database-then-queries descriptor extraction with fixed-shape batches
-    (final batch padded, mirroring the reference's two DataLoader passes)."""
+    (final batch padded, mirroring the reference's two DataLoader passes).
+    ``mesh``: optional data mesh — embed batches shard over its data axis."""
     bs = cfg.train.infer_batch_size
     dim = cfg.model.features_dim
 
     db_feats = batched_embed_db(ds, list(range(ds.database_num)), embed_db,
-                                params, batch_stats, bs)
+                                params, batch_stats, bs, mesh=mesh)
 
     crop_methods = ("five_crops", "nearest_crop", "maj_voting")
     use_crops = (cfg.eval.test_method in crop_methods
@@ -54,7 +74,7 @@ def extract_features(
     else:
         q_feats = batched_embed_q(ds, list(range(ds.queries_num)),
                                   embed_queries, params, batch_stats, bs,
-                                  cfg)
+                                  cfg, mesh=mesh)
     return q_feats, db_feats
 
 
@@ -66,14 +86,19 @@ def evaluate(
     embed_queries,
     embed_db,
     pca=None,
+    mesh=None,
+    gallery_mesh=None,
 ) -> Tuple[np.ndarray, str]:
-    """Returns (recalls, recalls_str) — ``test.test`` equivalent."""
+    """Returns (recalls, recalls_str) — ``test.test`` equivalent.  With
+    meshes, the embed passes run data-parallel and the retrieval runs
+    gallery-sharded."""
     q_feats, db_feats = extract_features(cfg, ds, params, batch_stats,
-                                         embed_queries, embed_db)
+                                         embed_queries, embed_db, mesh=mesh)
     if pca is not None:
         q_feats = pca.transform(q_feats).astype(np.float32)
         db_feats = pca.transform(db_feats).astype(np.float32)
-    return evaluate_features(cfg, ds, q_feats, db_feats)
+    return evaluate_features(cfg, ds, q_feats, db_feats,
+                             gallery_mesh=gallery_mesh)
 
 
 def evaluate_features(
@@ -82,6 +107,7 @@ def evaluate_features(
     q_feats: np.ndarray,
     db_feats: np.ndarray,
     test_method: Optional[str] = None,
+    gallery_mesh=None,
 ) -> Tuple[np.ndarray, str]:
     """compute_recall equivalent (``test.py:24-84``), including the crop
     post-processing paths.  For five_crops the caller passes 5*Q query rows
@@ -90,7 +116,7 @@ def evaluate_features(
     k = max(cfg.eval.recall_values)
 
     if method in ("nearest_crop", "maj_voting"):
-        d, i = l2_topk_blocked(q_feats, jnp.asarray(db_feats), 20)
+        d, i = _topk(q_feats, db_feats, 20, gallery_mesh)
         d = d.reshape(ds.queries_num, 5 * 20)
         i = i.reshape(ds.queries_num, 5 * 20)
         if method == "nearest_crop":
@@ -103,7 +129,7 @@ def evaluate_features(
         if method == "five_crops":
             # mean across the 5 crop descriptors per query
             q_feats = q_feats.reshape(ds.queries_num, 5, -1).mean(axis=1)
-        _, preds = l2_topk_blocked(q_feats, jnp.asarray(db_feats), k)
+        _, preds = _topk(q_feats, db_feats, k, gallery_mesh)
 
     return compute_recalls(preds, ds.soft_positives_per_query,
                            cfg.eval.recall_values)

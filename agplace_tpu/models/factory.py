@@ -51,6 +51,39 @@ def make_query_model(cfg: Config, train: bool = False,
     raise NotImplementedError(f"modelq={name}")
 
 
+def query_args(modelq: str, image, vox) -> tuple:
+    """Positional args for a query tower built by ``make_query_model``:
+    mm(image, vox) | minkloc(vox) | minkloc_multimodal(vox, image) |
+    geoloc(image)."""
+    if modelq == "mm":
+        return (image, vox)
+    if modelq == "minkloc":
+        return (vox,)
+    if modelq == "minkloc_multimodal":
+        return (vox, image)
+    if modelq == "geoloc":
+        return (image,)
+    raise NotImplementedError(f"modelq={modelq}")
+
+
+def query_apply(modelq: str, model, variables, image, vox,
+                mutable: bool = False):
+    """Normalised forward: returns (out_dict with 'embedding', mutated_vars).
+    Towers that return a bare array (geoloc) are wrapped."""
+    args = query_args(modelq, image, vox)
+    if mutable:
+        out, mut = model.apply(variables, *args, mutable=["batch_stats"])
+    else:
+        out, mut = model.apply(variables, *args), {}
+    if not isinstance(out, dict):
+        out = {"embedding": out}
+    return out, mut
+
+
+def query_init(modelq: str, model, rng, image, vox):
+    return model.init(rng, *query_args(modelq, image, vox))
+
+
 def make_db_model(cfg: Config, train: bool = False,
                   axis_name: Optional[str] = None):
     """--modeldb: vanilla2d (live) | geoloc."""

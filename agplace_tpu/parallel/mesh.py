@@ -30,6 +30,47 @@ def make_mesh(cfg: Optional[MeshConfig] = None,
     return Mesh(dev_array, (cfg.data_axis, cfg.gallery_axis))
 
 
+def resolve_data_mesh(cfg: Optional[MeshConfig],
+                      batch_sizes: Sequence[int] = (),
+                      devices: Optional[Sequence[jax.Device]] = None
+                      ) -> Optional[Mesh]:
+    """Data-parallel mesh for the live drivers, or None for single-device.
+
+    ``data_parallel=-1`` means "all available devices".  The resolved way is
+    clamped to the largest value that divides every batch size in
+    ``batch_sizes`` (fixed-shape batches must split evenly over the axis).
+    """
+    cfg = cfg or MeshConfig()
+    devices = list(devices if devices is not None else jax.devices())
+    dp = cfg.data_parallel if cfg.data_parallel > 0 else len(devices)
+    dp = min(dp, len(devices))
+    while dp > 1 and any(b % dp for b in batch_sizes):
+        dp -= 1
+    if dp <= 1:
+        return None
+    return make_mesh(
+        MeshConfig(data_axis=cfg.data_axis, gallery_axis=cfg.gallery_axis,
+                   data_parallel=dp, gallery_parallel=1),
+        devices=devices[:dp])
+
+
+def resolve_gallery_mesh(cfg: Optional[MeshConfig],
+                         devices: Optional[Sequence[jax.Device]] = None
+                         ) -> Optional[Mesh]:
+    """Gallery-sharded retrieval mesh (``gallery_parallel=-1`` = all
+    devices), or None when retrieval stays single-device."""
+    cfg = cfg or MeshConfig()
+    devices = list(devices if devices is not None else jax.devices())
+    gp = cfg.gallery_parallel if cfg.gallery_parallel != -1 else len(devices)
+    gp = min(gp, len(devices))
+    if gp <= 1:
+        return None
+    return make_mesh(
+        MeshConfig(data_axis=cfg.data_axis, gallery_axis=cfg.gallery_axis,
+                   data_parallel=1, gallery_parallel=gp),
+        devices=devices[:gp])
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Leading-axis sharding for batch pytrees."""
     return NamedSharding(mesh, P(axis))

@@ -45,6 +45,11 @@ def sharded_l2_topk(mesh: Mesh, queries, database_sharded, k: int,
     """
     n_shards = mesh.shape[axis]
     shard_rows = database_sharded.shape[0] // n_shards
+    # a shard smaller than k contributes all its rows; the merge below still
+    # sees >= k candidates as long as the full gallery has >= k rows
+    k_local = min(k, shard_rows)
+    assert k <= n_shards * k_local, (
+        f"top-k k={k} exceeds gallery rows {database_sharded.shape[0]}")
 
     @functools.partial(
         jax.shard_map,
@@ -57,7 +62,7 @@ def sharded_l2_topk(mesh: Mesh, queries, database_sharded, k: int,
     )
     def search(q, db_local):
         d2 = pairwise_sq_l2(q, db_local)  # [Q, D/shards]
-        neg, idx = jax.lax.top_k(-d2, k)  # local top-k
+        neg, idx = jax.lax.top_k(-d2, k_local)  # local top-k
         my_shard = jax.lax.axis_index(axis)
         gidx = idx + my_shard * shard_rows
         # gather candidates from every shard: [n_shards, Q, k]

@@ -18,8 +18,13 @@ import numpy as np
 
 from agplace_tpu.config import Config
 from agplace_tpu.data.base import PlaceDataset, collate_train
-from agplace_tpu.data.pipeline import Prefetcher
+from agplace_tpu.data.pipeline import Prefetcher, prefetch_to_device
 from agplace_tpu.evaluate import evaluate
+from agplace_tpu.parallel.mesh import (
+    replicate_tree,
+    resolve_data_mesh,
+    resolve_gallery_mesh,
+)
 from agplace_tpu.train.checkpoint import CheckpointManager
 from agplace_tpu.train.mining import TripletMiner
 from agplace_tpu.train.state import TrainState
@@ -41,6 +46,18 @@ def train(
     metrics_out = MetricsWriter(f"{cfg.train.save_dir}/metrics.jsonl")
     timer = PhaseTimer()
 
+    # device meshes: batches shard over the data axis (SyncBN and gradient
+    # all-reduce are implicit under GSPMD), retrieval shards the gallery.
+    # The reference's whole multi-device story is DataParallel+SyncBN on one
+    # host (train.py:253-256); here it is declarative and test-covered.
+    mesh = resolve_data_mesh(
+        cfg.mesh, (cfg.train.train_batch_size, cfg.train.infer_batch_size))
+    gallery_mesh = resolve_gallery_mesh(cfg.mesh)
+    if mesh is not None:
+        log.info("data mesh: %s", dict(mesh.shape))
+    if gallery_mesh is not None:
+        log.info("gallery mesh: %s", dict(gallery_mesh.shape))
+
     miner = TripletMiner(cfg, train_ds)
     train_step = make_train_step(cfg)
     embed_q, embed_db = make_infer_fns(cfg)
@@ -48,7 +65,10 @@ def train(
     if state is None:
         warm = miner.mine_random(rng, cfg.train.train_batch_size)
         batch = collate_train(train_ds, warm, cfg, rng)
-        state = init_state(cfg, jax.random.PRNGKey(cfg.train.seed), batch)
+        state = init_state(cfg, jax.random.PRNGKey(cfg.train.seed), batch,
+                           train_ds=train_ds)
+    if mesh is not None:
+        state = replicate_tree(mesh, state)
     log.info("params: %d", count_params(state.params))
 
     ckpt = CheckpointManager(cfg.train.save_dir)
@@ -72,7 +92,8 @@ def train(
                 triplets = miner.mine(
                     rng, cfg.train.cache_refresh_rate,
                     params=state.params, batch_stats=state.batch_stats,
-                    embed_q=embed_q, embed_db=embed_db)
+                    embed_q=embed_q, embed_db=embed_db, mesh=mesh,
+                    gallery_mesh=gallery_mesh)
             bs = cfg.train.train_batch_size
             n_batches = len(triplets) // bs
             row_chunks = [triplets[b * bs : (b + 1) * bs]
@@ -84,8 +105,11 @@ def train(
                     train_ds, it[0], cfg, np.random.default_rng(it[1])),
                 num_workers=cfg.data.num_workers,
             )
+            # double-buffered host->device transfer; with a mesh the leading
+            # batch axis is sharded over the data axis
+            device_loader = prefetch_to_device(loader, sharding=mesh)
             with timer("train"):
-                for batch in loader:
+                for batch in device_loader:
                     # flag-gated profiler trace of the first N steps
                     # (SURVEY.md §5.1: the reference has no tracing at all)
                     if (cfg.train.profile_steps > 0
@@ -109,7 +133,7 @@ def train(
         with timer("eval"):
             recalls, recalls_str = evaluate(
                 cfg, test_ds, state.params, state.batch_stats,
-                embed_q, embed_db)
+                embed_q, embed_db, mesh=mesh, gallery_mesh=gallery_mesh)
         mean_loss = float(np.mean(epoch_losses)) if epoch_losses else 0.0
         is_best = sum(recalls[:3]) > sum(best_r1r5r10ep[:3])
         if is_best:

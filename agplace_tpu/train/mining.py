@@ -94,6 +94,7 @@ class TripletMiner:
         batch_stats,
         embed_q,
         embed_db,
+        mesh=None,
     ) -> np.ndarray:
         ds, cfg = self.ds, self.cfg
         bs = cfg.train.infer_batch_size
@@ -108,9 +109,9 @@ class TripletMiner:
         slot_of = {int(g): i for i, g in enumerate(cache_ids)}
 
         db_feats = batched_embed_db(ds, cache_ids, embed_db, params,
-                                    batch_stats, bs)
+                                    batch_stats, bs, mesh=mesh)
         q_feats = batched_embed_q(ds, qs, embed_q, params, batch_stats,
-                                  bs, cfg)
+                                  bs, cfg, mesh=mesh)
 
         pos_sets = [
             np.array([slot_of[int(g)] for g in ds.hard_positives_per_query[q]])
@@ -133,15 +134,92 @@ class TripletMiner:
         return np.concatenate(
             [qs[:, None], best_pos[:, None], hard_negs], axis=1)
 
+    def mine_full(
+        self,
+        rng: np.random.Generator,
+        n_queries: int,
+        params,
+        batch_stats,
+        embed_q,
+        embed_db,
+        mesh=None,
+        gallery_mesh=None,
+    ) -> np.ndarray:
+        """compute_triplets_full semantics (``datasets_ws_kitti360.py:
+        1022-1097``): the hardest negatives are searched over the ENTIRE
+        gallery, not a sampled candidate pool.  Embeds the full database
+        (data-parallel over ``mesh``), takes a global top-k per query with
+        the sharded retrieval engine when ``gallery_mesh`` spans >1 device,
+        then filters each query's soft positives out of its candidates.  The
+        top-k is sized nneg + max|soft positives| so >= nneg non-positive
+        candidates always survive."""
+        ds, cfg = self.ds, self.cfg
+        bs = cfg.train.infer_batch_size
+        qs = rng.choice(self.valid_queries, size=n_queries,
+                        replace=n_queries > len(self.valid_queries))
+
+        db_feats = batched_embed_db(ds, list(range(ds.database_num)),
+                                    embed_db, params, batch_stats, bs,
+                                    mesh=mesh)
+        q_feats = batched_embed_q(ds, qs, embed_q, params, batch_stats,
+                                  bs, cfg, mesh=mesh)
+        dbj = jnp.asarray(db_feats)
+        qj = jnp.asarray(q_feats)
+
+        # best positive among each query's hard positives (global rows)
+        pos_sets = [np.asarray(ds.hard_positives_per_query[q]) for q in qs]
+        pos_idx, _ = pad_positives(pos_sets)  # [nq, P_max], -1 pad
+        pos_vecs = jnp.take(dbj, jnp.asarray(np.maximum(pos_idx, 0)), axis=0)
+        pos_d = jnp.sum(jnp.square(qj[:, None, :] - pos_vecs), axis=-1)
+        pos_d = jnp.where(jnp.asarray(pos_idx) >= 0, pos_d, jnp.inf)
+        slot = np.asarray(jnp.argmin(pos_d, axis=1))
+        best_pos = pos_idx[np.arange(len(qs)), slot]
+
+        # hardest negatives over the whole gallery, excluding soft positives
+        max_soft = max(len(ds.soft_positives_per_query[q]) for q in qs)
+        k = min(ds.database_num, self.nneg + max_soft)
+        use_sharded = (gallery_mesh is not None
+                       and gallery_mesh.shape.get("gallery", 1) > 1)
+        if use_sharded:
+            from agplace_tpu.retrieval.sharded import (
+                shard_gallery,
+                sharded_l2_topk,
+            )
+
+            db_sh = shard_gallery(gallery_mesh, db_feats)
+            _, cand = sharded_l2_topk(gallery_mesh, qj, db_sh, k)
+        else:
+            from agplace_tpu.retrieval.knn import l2_topk_blocked
+
+            _, cand = l2_topk_blocked(q_feats, dbj, k)
+        cand = np.asarray(cand)
+        rows = np.empty((len(qs), 2 + self.nneg), np.int64)
+        for r, q in enumerate(qs):
+            soft = set(ds.soft_positives_per_query[q].tolist())
+            negs = [int(c) for c in cand[r] if int(c) not in soft]
+            if len(negs) < self.nneg:  # tiny gallery (k capped): repeat
+                filler = negs[-1] if negs else int(best_pos[r])
+                negs += [filler] * (self.nneg - len(negs))
+            rows[r, 0] = q
+            rows[r, 1] = best_pos[r]
+            rows[r, 2:] = negs[: self.nneg]
+        return rows
+
     def mine(self, rng, n_queries, params=None, batch_stats=None,
-             embed_q=None, embed_db=None) -> np.ndarray:
+             embed_q=None, embed_db=None, mesh=None,
+             gallery_mesh=None) -> np.ndarray:
         mining = self.cfg.train.mining
         if mining == "random" or params is None:
             return self.mine_random(rng, n_queries)
-        if mining in ("partial_sep", "partial", "full"):
-            # partial/full collapse to the same vectorised selection with a
-            # pool of neg_samples_num (full would use the whole gallery;
-            # partial_sep is the reference default)
+        if mining == "full":
+            return self.mine_full(rng, n_queries, params, batch_stats,
+                                  embed_q, embed_db, mesh=mesh,
+                                  gallery_mesh=gallery_mesh)
+        if mining in ("partial_sep", "partial"):
+            # `partial` differs from partial_sep only in sharing one tower
+            # for queries and database (compute_cache vs compute_cache_sep in
+            # the reference); with two distinct towers the selection math is
+            # identical, so both route here.
             return self.mine_partial_sep(rng, n_queries, params, batch_stats,
-                                         embed_q, embed_db)
+                                         embed_q, embed_db, mesh=mesh)
         raise NotImplementedError(mining)

@@ -63,3 +63,51 @@ def initialize_netvlad(
     out = dict(variables)
     out["params"] = params
     return out
+
+
+def initialize_netvlad_from_dataset(cfg, variables: Dict, ds, seed: int = 0,
+                                    n_images: int = 32) -> Dict:
+    """Dataset-driven init for a GeoLocalizationNet query tower: sample
+    query images, run the tower's own backbone, k-means the descriptors, and
+    set the netvlad/crn cluster params.  Called from ``init_state`` when
+    ``aggregation in ('netvlad','crn')`` — the reference's intent at
+    ``train.py:156-161``."""
+    import jax
+
+    from agplace_tpu.data.base import collate_cache_q
+    from agplace_tpu.models.geoloc import _RESNET_BACKBONES
+
+    rng = np.random.default_rng(seed)
+    n = min(n_images, ds.queries_num)
+    idx = rng.choice(ds.queries_num, size=n, replace=False)
+    images, _ = collate_cache_q(ds, list(idx), cfg)
+
+    backbone = cfg.model.backbone
+    bvars = {"params": variables["params"]["backbone"]}
+    if "batch_stats" in variables:
+        bvars["batch_stats"] = variables["batch_stats"].get("backbone", {})
+    if backbone in _RESNET_BACKBONES:
+        from agplace_tpu.models.resnet import ResNetFeatures
+
+        arch, stages, _ = _RESNET_BACKBONES[backbone]
+        bb = ResNetFeatures(arch=arch, num_stages=stages)
+        apply_fn = jax.jit(lambda im: bb.apply(bvars, im)[0])
+    elif backbone == "vgg16":
+        from agplace_tpu.models.geoloc import VGG16Features
+
+        bb = VGG16Features()
+        apply_fn = jax.jit(lambda im: bb.apply(bvars, im))
+    elif backbone == "alexnet":
+        from agplace_tpu.models.geoloc import AlexNetFeatures
+
+        bb = AlexNetFeatures()
+        apply_fn = jax.jit(lambda im: bb.apply(bvars, im))
+    else:
+        raise NotImplementedError(
+            f"dataset netvlad init for backbone={backbone}")
+
+    agg = cfg.model.aggregation  # 'netvlad' | 'crn' (same param keys)
+    return initialize_netvlad(
+        variables, apply_fn, np.asarray(images),
+        clusters_num=cfg.model.netvlad_clusters,
+        netvlad_path=f"aggregation/{agg}", seed=seed)

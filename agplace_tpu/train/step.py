@@ -26,8 +26,12 @@ import jax.numpy as jnp
 import optax
 
 from agplace_tpu.config import Config
-from agplace_tpu.models.dbvanilla2d import DBVanilla2D
-from agplace_tpu.models.mm import MM
+from agplace_tpu.models.factory import (
+    make_db_model,
+    make_query_model,
+    query_apply,
+    query_init,
+)
 from agplace_tpu.sparse.voxels import SparseVoxels
 from agplace_tpu.train.losses import (
     compute_other_loss,
@@ -39,25 +43,31 @@ from agplace_tpu.train.state import TrainState
 
 
 def build_models(cfg: Config, train: bool):
-    dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" \
-        else jnp.float32
-    mm = MM(config=cfg.model.mm, train=train, dtype=dtype)
-    db = DBVanilla2D(
-        config=cfg.model.db,
-        dim=cfg.model.features_dim,
-        nmap=cfg.data.nmap,
-        output_l2=cfg.model.mm.output_l2,
-        final_l2=cfg.model.mm.final_l2,
-        train=train,
-        dtype=dtype,
-    )
-    return mm, db
+    """Both towers from the factory (the 'mm' pytree key names the query
+    tower regardless of ``modelq``, for checkpoint stability)."""
+    return make_query_model(cfg, train=train), make_db_model(cfg, train=train)
 
 
-def init_state(cfg: Config, rng: jax.Array, sample_batch) -> TrainState:
+def init_state(cfg: Config, rng: jax.Array, sample_batch,
+               train_ds=None) -> TrainState:
+    """Initialise both towers (+ optimizer).  When the query tower is the
+    DVGLB family with a netvlad/crn aggregation and ``train_ds`` is given,
+    the cluster parameters are initialised from dataset descriptors — the
+    intended behaviour of ``/root/reference/train.py:156-161`` (which crashes
+    on the live towers as shipped, SURVEY.md §7.5)."""
     mm, db = build_models(cfg, train=False)
     k1, k2 = jax.random.split(rng)
-    mm_vars = mm.init(k1, sample_batch["query_image"], sample_batch["vox"])
+    mm_vars = query_init(cfg.model.modelq, mm, k1,
+                         sample_batch["query_image"], sample_batch["vox"])
+    if (cfg.model.modelq == "geoloc"
+            and cfg.model.aggregation in ("netvlad", "crn")
+            and train_ds is not None):
+        from agplace_tpu.train.netvlad_init import (
+            initialize_netvlad_from_dataset,
+        )
+
+        mm_vars = initialize_netvlad_from_dataset(
+            cfg, mm_vars, train_ds, seed=cfg.train.seed)
     db_vars = db.init(k2, sample_batch["db_map"])
     params = {"mm": mm_vars["params"], "db": db_vars["params"]}
     batch_stats = {
@@ -78,9 +88,10 @@ def make_train_step(cfg: Config):
     nneg = cfg.train.negs_num_per_query
 
     def loss_fn(params, batch_stats, batch):
-        mm_out, mm_mut = mm.apply(
+        mm_out, mm_mut = query_apply(
+            cfg.model.modelq, mm,
             {"params": params["mm"], "batch_stats": batch_stats["mm"]},
-            batch["query_image"], batch["vox"], mutable=["batch_stats"],
+            batch["query_image"], batch["vox"], mutable=True,
         )
         aerial, db_mut = db.apply(
             {"params": params["db"], "batch_stats": batch_stats["db"]},
@@ -149,7 +160,8 @@ def make_infer_fns(cfg: Config):
     @jax.jit
     def embed_queries(params, batch_stats, query_image,
                       vox: SparseVoxels) -> jax.Array:
-        out = mm.apply(
+        out, _ = query_apply(
+            cfg.model.modelq, mm,
             {"params": params["mm"], "batch_stats": batch_stats["mm"]},
             query_image, vox)
         return out["embedding"]

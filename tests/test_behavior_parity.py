@@ -4,6 +4,7 @@ ablations, resume mid-training, squeezenet variant."""
 import dataclasses
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -31,6 +32,7 @@ def test_mining_is_deterministic_given_seed():
     assert not np.array_equal(a, c)
 
 
+@pytest.mark.slow
 def test_partial_sep_mining_deterministic():
     cfg, ds = _world()
     miner = TripletMiner(cfg, ds)
@@ -78,6 +80,7 @@ def test_modality_drop_changes_embedding():
         assert np.isfinite(e_drop).all()
 
 
+@pytest.mark.slow
 def test_resume_roundtrip_continues_training(tmp_path):
     from agplace_tpu.train.checkpoint import CheckpointManager
     from agplace_tpu.train.step import make_train_step

@@ -2,6 +2,7 @@
 batch-hard metric losses, SDE/CDE integrators, PCA."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -113,6 +114,7 @@ def test_cct_backbone():
     assert np.isfinite(np.asarray(pooled)).all()
 
 
+@pytest.mark.slow
 def test_minkloc_and_multimodal():
     rng = np.random.default_rng(6)
     vox = _vox(rng)

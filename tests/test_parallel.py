@@ -5,6 +5,7 @@ data-parallel train step parity, and batch sharding."""
 import dataclasses
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -31,6 +32,7 @@ def test_sharded_gallery_matches_single_device():
     np.testing.assert_array_equal(np.asarray(i_sh), np.asarray(i_ref))
 
 
+@pytest.mark.slow
 def test_data_parallel_train_step_matches_single_device():
     """The same train step, same batch: sharded over an 8-way data mesh vs
     unsharded must produce (numerically) the same updated params — GSPMD

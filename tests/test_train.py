@@ -89,6 +89,7 @@ def test_param_group_labels(world):
     assert ("mm", "image_fe") in seen["base"]
 
 
+@pytest.mark.slow
 def test_train_step_decreases_loss(world):
     cfg, train_ds, _ = world
     rng = np.random.default_rng(0)
@@ -141,6 +142,7 @@ def test_other_loss_runs(world):
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_end_to_end_training_improves_recall(world):
     """The integration test: tiny synthetic dataset, a few mined-training
     steps, recall@5 after > recall of the untrained model (or already
