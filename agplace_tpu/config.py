@@ -186,6 +186,13 @@ class ModelConfig:
     l2: str = "before_pool"  # before_pool | after_pool | none
     # numerics
     compute_dtype: str = "float32"  # float32 | bfloat16 (activations)
+    # pretrained backbone init (reference: torchvision pretrained resnets in
+    # both towers, network_mm/image_fe.py:19,33).  Sources tried in order:
+    # pretrained_path (file or dir of {arch}*.pth), $AGPLACE_WEIGHTS,
+    # ~/.cache/agplace_tpu/weights, <repo>/weights, torchvision zoo.  Falls
+    # back to random init with a logged warning when none exists.
+    pretrained: bool = True
+    pretrained_path: Optional[str] = None
 
 
 @dataclass(frozen=True)

@@ -74,8 +74,71 @@ def init_state(cfg: Config, rng: jax.Array, sample_batch,
         "mm": mm_vars.get("batch_stats", {}),
         "db": db_vars.get("batch_stats", {}),
     }
+    if cfg.model.pretrained:
+        params, batch_stats = apply_pretrained_backbones(
+            cfg, params, batch_stats)
     tx = make_optimizer(cfg.train)
     return TrainState.create(params, batch_stats, tx)
+
+
+def apply_pretrained_backbones(cfg: Config, params, batch_stats):
+    """Graft pretrained ResNet weights into every image backbone: the MM
+    image branch, each DBVanilla2D map-type branch, and the geoloc backbone
+    — the reference trains all of them from torchvision-pretrained nets
+    (``network_mm/image_fe.py:19,33``, ``network/image_fe.py`` via
+    ``dbvanilla2d.py:38``).  No-op with a logged warning per backbone when
+    no weight source exists (zero-egress host without a mounted dir)."""
+    import logging
+
+    from agplace_tpu.utils.torch_convert import load_pretrained_resnet
+
+    log = logging.getLogger("pretrained")
+    loaded: dict = {}
+
+    def get(arch: str, num_stages: int):
+        key = (arch, num_stages)
+        if key not in loaded:
+            loaded[key] = load_pretrained_resnet(
+                arch, num_stages, cfg.model.pretrained_path)
+            if loaded[key] is None:
+                log.warning(
+                    "no pretrained %s weights found (set AGPLACE_WEIGHTS or "
+                    "model.pretrained_path); %s backbones stay random-init",
+                    arch, arch)
+        return loaded[key]
+
+    def graft(tower: str, path, arch: str, num_stages: int):
+        got = get(arch, num_stages)
+        if got is None:
+            return
+        p, s = got
+        node_p, node_s = params[tower], batch_stats[tower]
+        for k in path[:-1]:
+            node_p, node_s = node_p[k], node_s[k]
+        node_p[path[-1]] = jax.tree_util.tree_map(jnp.asarray, p)
+        node_s[path[-1]] = jax.tree_util.tree_map(jnp.asarray, s)
+        log.info("loaded pretrained %s into %s/%s", arch, tower,
+                 "/".join(path))
+
+    if cfg.model.modelq == "mm":
+        fe = cfg.model.mm.imgfe
+        if fe in ("resnet18", "resnet34", "resnet50"):
+            graft("mm", ("image_fe", "fe"), fe,
+                  len(cfg.model.mm.imgfe_layers))
+    elif cfg.model.modelq == "geoloc":
+        from agplace_tpu.models.geoloc import _RESNET_BACKBONES
+
+        if cfg.model.backbone in _RESNET_BACKBONES:
+            arch, stages, _ = _RESNET_BACKBONES[cfg.model.backbone]
+            graft("mm", ("backbone",), arch, stages)
+    if cfg.model.db.modeldb == "vanilla2d":
+        fe = cfg.model.db.image_fe
+        if fe in ("resnet18", "resnet34", "resnet50"):
+            n_branches = 1 if cfg.model.db.share_dbfe else cfg.data.nmap
+            for i in range(n_branches):
+                graft("db", (f"fe_{i}", "fe"), fe,
+                      len(cfg.model.db.image_fe_layers))
+    return params, batch_stats
 
 
 def make_train_step(cfg: Config):

@@ -90,10 +90,71 @@ def convert_resnet(
 def load_torchvision_resnet(arch: str = "resnet18", num_stages: int = 3,
                             pretrained: bool = True):
     """Build torchvision weights and convert.  Requires torch+torchvision
-    (present in the dev image; CPU only).  Gated so the compute path never
-    imports torch."""
+    (CPU only).  Gated so the compute path never imports torch."""
     import torchvision  # local import by design
 
     model = getattr(torchvision.models, arch)(
         weights="IMAGENET1K_V1" if pretrained else None)
     return convert_resnet(model.state_dict(), arch, num_stages)
+
+
+def _default_weight_dirs():
+    import os
+
+    dirs = []
+    env = os.environ.get("AGPLACE_WEIGHTS", "")
+    if env:
+        dirs.append(env)
+    dirs.append(os.path.expanduser("~/.cache/agplace_tpu/weights"))
+    dirs.append(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "weights"))
+    return dirs
+
+
+def find_pretrained_state_dict(arch: str, path: "str | None" = None):
+    """Locate a torchvision-format ``state_dict`` for ``arch``.
+
+    Search order: explicit ``path`` (file, or directory containing
+    ``{arch}*.pth``), then ``$AGPLACE_WEIGHTS``, ``~/.cache/agplace_tpu/
+    weights``, ``<repo>/weights``.  Returns the loaded state dict or None.
+    torch is used only to deserialize the ``.pth``.
+    """
+    import glob
+    import os
+
+    candidates = []
+    for d in ([path] if path else []) + _default_weight_dirs():
+        if d is None or not os.path.exists(d):
+            continue
+        if os.path.isfile(d):
+            candidates.append(d)
+        else:
+            candidates.extend(sorted(glob.glob(os.path.join(d,
+                                                            f"{arch}*.pth"))))
+    for f in candidates:
+        try:
+            import torch
+
+            sd = torch.load(f, map_location="cpu", weights_only=True)
+            if isinstance(sd, dict) and "state_dict" in sd:
+                sd = sd["state_dict"]
+            if "conv1.weight" in sd:
+                return sd
+        except Exception:  # corrupt / wrong format: keep searching
+            continue
+    return None
+
+
+def load_pretrained_resnet(arch: str, num_stages: int,
+                           path: "str | None" = None):
+    """(params, batch_stats) for ``ResNetFeatures`` from the best available
+    pretrained source — torchvision zoo if importable+cached, else a mounted
+    weights dir (``find_pretrained_state_dict``).  None if neither exists
+    (zero-egress environments with no mounted weights)."""
+    sd = find_pretrained_state_dict(arch, path)
+    if sd is not None:
+        return convert_resnet(sd, arch, num_stages)
+    try:
+        return load_torchvision_resnet(arch, num_stages, pretrained=True)
+    except Exception:
+        return None
