@@ -331,97 +331,277 @@ def synthetic_config(
 
 
 # ---------------------------------------------------------------------------
-# CLI: same surface as the reference's argparse (subset that is live), but
-# resolving into the frozen dataclass tree instead of a global namespace.
+# CLI: the reference's full LIVE flag surface (tools/options.py:19-238),
+# table-driven onto the frozen dataclass tree.  Every flag defaults to "not
+# given" so dataset presets keep their values unless explicitly overridden.
 # ---------------------------------------------------------------------------
+
+def _str2bool(v: str) -> bool:
+    """Reference-style string-boolean coercion (tools/options.py:253-263)."""
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("true", "1", "yes"):
+        return True
+    if v.lower() in ("false", "0", "no"):
+        return False
+    raise argparse.ArgumentTypeError(f"boolean expected, got {v!r}")
+
+
+def _opt(parser):
+    def parse(v: str):
+        return None if v.lower() in ("none", "null", "") else parser(v)
+
+    return parse
+
+
+def _tuple_float(spec: str) -> Tuple[float, ...]:
+    return tuple(float(x) for x in spec.split("_"))
+
+
+_KINDS = {
+    "int": int,
+    "float": float,
+    "str": str,
+    "bool": _str2bool,
+    "ints": _tuple_int,
+    "strs": _tuple_str,
+    "floats": _tuple_float,
+    "opt_int": _opt(int),
+    "opt_str": _opt(str),
+}
+
+# (flag, dotted config path, kind[, choices]) — reference flag names kept
+# verbatim where they exist (PARITY.md carries the flag-by-flag table).
+_FLAG_TABLE = [
+    # data (tools/options.py:19-72)
+    ("dataset", "data.dataset", "str",
+     ["kitti360", "nuscenes", "synthetic"]),
+    ("dataroot", "data.dataroot", "str"),
+    ("maptype", "data.maptype", "strs"),
+    ("camnames", "data.camnames", "strs"),
+    ("traindownsample", "data.traindownsample", "int"),
+    ("train_ratio", "data.train_ratio", "float"),
+    ("val_positive_dist_threshold", "data.val_positive_dist_threshold",
+     "float"),
+    ("train_positives_dist_threshold",
+     "data.train_positives_dist_threshold", "float"),
+    ("q_resize", "data.q_resize", "int"),
+    ("db_cropsize", "data.db_cropsize", "int"),
+    ("db_resize", "data.db_resize", "int"),
+    ("q_jitter", "data.q_jitter", "float"),
+    ("db_jitter", "data.db_jitter", "float"),
+    ("color_jitter", "data.color_jitter", "float"),
+    ("norm_mean", "data.norm_mean", "floats"),
+    ("norm_std", "data.norm_std", "floats"),
+    ("nuscenes_cam_resize", "data.nuscenes_cam_resize", "int"),
+    ("read_pc", "data.read_pc", "bool"),
+    ("quant_size", "data.quant_size", "float"),
+    ("vox_max_points", "data.vox_max_points", "int"),
+    ("pc_rot_aug_deg", "data.pc_rot_aug_deg", "float"),
+    ("sph_size", "data.sph_size", "int"),
+    ("sph_jit", "data.sph_jit", "float"),
+    ("bev_jit", "data.bev_jit", "float"),
+    ("num_workers", "data.num_workers", "int"),
+    # model selection (options.py:90-114)
+    ("modelq", "model.modelq", "str",
+     ["mm", "minkloc", "minkloc_multimodal", "geoloc"]),
+    ("modeldb", "model.db.modeldb", "str", ["vanilla2d", "geoloc"]),
+    ("features_dim", "model.features_dim", "int"),
+    ("backbone", "model.backbone", "str"),
+    ("aggregation", "model.aggregation", "str"),
+    ("netvlad_clusters", "model.netvlad_clusters", "int"),
+    ("fc_output_dim", "model.fc_output_dim", "opt_int"),
+    ("l2", "model.l2", "str", ["before_pool", "after_pool", "none"]),
+    ("compute_dtype", "model.compute_dtype", "str",
+     ["float32", "bfloat16"]),
+    ("pretrained", "model.pretrained", "bool"),
+    ("pretrained_path", "model.pretrained_path", "opt_str"),
+    # MM tower (options.py:100-156)
+    ("mm_imgfe", "model.mm.imgfe", "str"),
+    ("mm_imgfe_layers", "model.mm.imgfe_layers", "ints"),
+    ("mm_imgfe_planes", "model.mm.imgfe_planes", "ints"),
+    ("mm_imgfe_dim", "model.mm.imgfe_dim", "int"),
+    ("mm_voxfe_layers", "model.mm.voxfe_layers", "ints"),
+    ("mm_voxfe_planes", "model.mm.voxfe_planes", "ints"),
+    ("mm_voxfe_ntd", "model.mm.voxfe_ntd", "int"),
+    ("mm_voxfe_dim", "model.mm.voxfe_dim", "int"),
+    ("voxfe_backend", "model.mm.voxfe_backend", "str"),
+    ("vox_grid_extent", "model.mm.vox_grid_extent", "ints"),
+    ("stg2fuse_dim", "model.mm.stg2fuse_dim", "int"),
+    ("output_type", "model.mm.output_type", "strs"),
+    ("output_l2", "model.mm.output_l2", "bool"),
+    ("final_type", "model.mm.final_type", "strs"),
+    ("final_fusetype", "model.mm.final_fusetype", "str",
+     ["add", "cat", "catadd"]),
+    ("final_l2", "model.mm.final_l2", "bool"),
+    ("image_weight", "model.mm.image_weight", "float"),
+    ("image_learnweight", "model.mm.image_learnweight", "bool"),
+    ("vox_weight", "model.mm.vox_weight", "float"),
+    ("vox_learnweight", "model.mm.vox_learnweight", "bool"),
+    ("shallow_weight", "model.mm.shallow_weight", "float"),
+    ("shallow_learnweight", "model.mm.shallow_learnweight", "bool"),
+    ("imagevoxorg_weight", "model.mm.imagevoxorg_weight", "float"),
+    ("imagevoxorg_learnweight", "model.mm.imagevoxorg_learnweight", "bool"),
+    ("shalloworg_weight", "model.mm.shalloworg_weight", "float"),
+    ("shalloworg_learnweight", "model.mm.shalloworg_learnweight", "bool"),
+    ("stg2imagevox_weight", "model.mm.stg2imagevox_weight", "float"),
+    ("stg2imagevox_learnweight", "model.mm.stg2imagevox_learnweight",
+     "bool"),
+    ("stg2fuse_weight", "model.mm.stg2fuse_weight", "float"),
+    ("stg2fuse_learnweight", "model.mm.stg2fuse_learnweight", "bool"),
+    ("stg2gnn", "model.mm.stg2gnn", "str", ["qkv", "beltrami"]),
+    ("beltrami_k", "model.mm.beltrami_k", "int"),
+    ("stg2nlayers", "model.mm.stg2nlayers", "int"),
+    ("stg2fuse_type", "model.mm.stg2fuse_type", "str"),
+    ("stg2_type", "model.mm.stg2_type", "str"),
+    ("stg2_useproj", "model.mm.stg2_useproj", "bool"),
+    ("drop", "model.mm.drop", "opt_str"),
+    # DB tower
+    ("dbimage_fe", "model.db.image_fe", "str"),
+    ("dbimage_fe_layers", "model.db.image_fe_layers", "ints"),
+    ("share_dbfe", "model.db.share_dbfe", "bool"),
+    # ODE (options.py:130-138)
+    ("diff_type", "model.mm.ode.diff_type", "str"),
+    ("diff_direction", "model.mm.ode.diff_direction", "str",
+     ["forward", "backward"]),
+    ("odeint_method", "model.mm.ode.method", "str",
+     ["euler", "midpoint", "rk4", "dopri5"]),
+    ("odeint_size", "model.mm.ode.step_size", "float"),
+    ("odeint_rtol", "model.mm.ode.rtol", "float"),
+    ("odeint_atol", "model.mm.ode.atol", "float"),
+    ("dopri5_max_steps", "model.mm.ode.dopri5_max_steps", "int"),
+    ("use_pallas", "model.mm.ode.use_pallas", "bool"),
+    # train (options.py:33-58)
+    ("epochs_num", "train.epochs_num", "int"),
+    ("train_batch_size", "train.train_batch_size", "int"),
+    ("infer_batch_size", "train.infer_batch_size", "int"),
+    ("queries_per_epoch", "train.queries_per_epoch", "int"),
+    ("cache_refresh_rate", "train.cache_refresh_rate", "int"),
+    ("neg_samples_num", "train.neg_samples_num", "int"),
+    ("negs_num_per_query", "train.negs_num_per_query", "int"),
+    ("mining", "train.mining", "str",
+     ["partial", "partial_sep", "full", "random"]),
+    ("optim", "train.optim", "str", ["adam", "sgd"]),
+    ("lr", "train.lr", "float"),
+    ("lrpc", "train.lrpc", "float"),
+    ("lrdb", "train.lrdb", "float"),
+    ("seed", "train.seed", "int"),
+    ("patience", "train.patience", "int"),
+    ("train_modelq", "train.train_modelq", "bool"),
+    ("train_modeldb", "train.train_modeldb", "bool"),
+    ("save_dir", "train.save_dir", "str"),
+    ("resume", "train.resume", "opt_str"),
+    ("checkpoint_every_epochs", "train.checkpoint_every_epochs", "int"),
+    ("checkpoint_after_epoch", "train.checkpoint_after_epoch", "int"),
+    ("profile_steps", "train.profile_steps", "int"),
+    # losses (options.py:158-170)
+    ("criterion", "train.loss.criterion", "str",
+     ["triplet", "sare_ind", "sare_joint"]),
+    ("margin", "train.loss.margin", "float"),
+    ("tripletloss_weight", "train.loss.tripletloss_weight", "float"),
+    ("otherloss_type", "train.loss.otherloss_type", "str",
+     ["bce", "mse", "l1"]),
+    ("otherloss_weight", "train.loss.otherloss_weight", "float"),
+    ("infonceloss_weight", "train.loss.infonceloss_weight", "float"),
+    ("mm_lossweight", "train.loss.mm_lossweight", "floats"),
+    # eval (options.py:219-226)
+    ("recall_values", "eval.recall_values", "ints"),
+    ("test_method", "eval.test_method", "str",
+     ["hard_resize", "single_query", "central_crop", "five_crops",
+      "nearest_crop", "maj_voting"]),
+    ("majority_weight", "eval.majority_weight", "float"),
+    ("pca_dim", "eval.pca_dim", "opt_int"),
+    # mesh (no reference equivalent: its multi-device story is DataParallel)
+    ("data_parallel", "mesh.data_parallel", "int"),
+    ("gallery_parallel", "mesh.gallery_parallel", "int"),
+    ("exp_name", "exp_name", "str"),
+]
+
+
+def _replace_path(cfg, dotted: str, value):
+    parts = dotted.split(".")
+
+    def rec(obj, i):
+        if i == len(parts) - 1:
+            return dataclasses.replace(obj, **{parts[i]: value})
+        return dataclasses.replace(
+            obj, **{parts[i]: rec(getattr(obj, parts[i]), i + 1)})
+
+    return rec(cfg, 0)
+
+
+def _get_path(cfg, dotted: str):
+    obj = cfg
+    for p in dotted.split("."):
+        obj = getattr(obj, p)
+    return obj
+
+
+def build_exp_name(cfg: Config) -> str:
+    """The reference's exp-name-from-hparams builder
+    (``tools/options.py:294-307``), with tuple flags joined by '_' the way
+    argparse saw them."""
+    t, d = cfg.train, cfg.data
+    return (f"{t.seed}_ep{t.epochs_num}_{d.dataset}"
+            f"_{'_'.join(d.camnames)}_{t.cache_refresh_rate}"
+            f"_{t.queries_per_epoch}_{'_'.join(d.maptype)}"
+            f"_trbs{t.train_batch_size}_{t.infer_batch_size}"
+            f"_{d.traindownsample}_{d.train_ratio}"
+            f"_sph{d.sph_size}_pc{d.read_pc}")
+
 
 def parse_arguments(argv=None) -> Config:
     p = argparse.ArgumentParser(
-        description="TPU-native aerial-ground place recognition",
-        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
-    )
-    p.add_argument("--dataset", default="kitti360",
-                   choices=["kitti360", "nuscenes", "synthetic"])
-    p.add_argument("--dataroot", default="")
-    p.add_argument("--maptype", default="satellite")
-    p.add_argument("--camnames", default=None,
-                   help="kitti360: 00|0203; nuscenes: fl_f_fr_bl_b_br")
-    p.add_argument("--epochs_num", type=int, default=None)
-    p.add_argument("--train_batch_size", type=int, default=16)
-    p.add_argument("--infer_batch_size", type=int, default=32)
-    p.add_argument("--queries_per_epoch", type=int, default=16000)
-    p.add_argument("--cache_refresh_rate", type=int, default=4000)
-    p.add_argument("--negs_num_per_query", type=int, default=10)
-    p.add_argument("--neg_samples_num", type=int, default=1000)
-    p.add_argument("--mining", default="partial_sep",
-                   choices=["partial", "partial_sep", "full", "random"])
-    p.add_argument("--lr", type=float, default=1e-5)
-    p.add_argument("--lrpc", type=float, default=1e-4)
-    p.add_argument("--lrdb", type=float, default=1e-5)
-    p.add_argument("--margin", type=float, default=0.1)
-    p.add_argument("--criterion", default="triplet",
-                   choices=["triplet", "sare_ind", "sare_joint"])
-    p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--resume", default=None)
-    p.add_argument("--save_dir", default="logs/default")
-    p.add_argument("--features_dim", type=int, default=256)
-    p.add_argument("--odeint_method", default="euler")
-    p.add_argument("--odeint_size", type=float, default=0.1)
-    p.add_argument("--output_type", default="image_vox_shallow")
-    p.add_argument("--final_type",
-                   default="imageorg_voxorg_shalloworg_stg2image_stg2vox")
-    p.add_argument("--quant_size", type=float, default=2.0)
-    p.add_argument("--vox_max_points", type=int, default=8192)
-    p.add_argument("--compute_dtype", default="float32",
-                   choices=["float32", "bfloat16"])
+        description="TPU-native aerial-ground place recognition "
+                    "(full reference flag surface; unset flags keep the "
+                    "dataset preset's values)")
+    for row in _FLAG_TABLE:
+        flag, _, kind = row[:3]
+        choices = row[3] if len(row) > 3 else None
+        p.add_argument(f"--{flag}", type=_KINDS[kind], default=None,
+                       choices=choices)
     args = p.parse_args(argv)
 
-    if args.dataset == "nuscenes":
+    dataset = args.dataset or "kitti360"
+    if dataset == "nuscenes":
         cfg = nuscenes_config()
-    elif args.dataset == "synthetic":
+    elif dataset == "synthetic":
         cfg = synthetic_config()
     else:
         cfg = kitti360_config()
 
-    camnames = (
-        _tuple_str(args.camnames) if args.camnames else cfg.data.camnames
-    )
-    data = dataclasses.replace(
-        cfg.data,
-        dataroot=args.dataroot,
-        maptype=_tuple_str(args.maptype),
-        camnames=camnames,
-        quant_size=args.quant_size,
-        vox_max_points=args.vox_max_points,
-    )
-    train = dataclasses.replace(
-        cfg.train,
-        epochs_num=args.epochs_num or cfg.train.epochs_num,
-        train_batch_size=args.train_batch_size,
-        infer_batch_size=args.infer_batch_size,
-        queries_per_epoch=args.queries_per_epoch,
-        cache_refresh_rate=args.cache_refresh_rate,
-        negs_num_per_query=args.negs_num_per_query,
-        neg_samples_num=args.neg_samples_num,
-        mining=args.mining,
-        lr=args.lr,
-        lrpc=args.lrpc,
-        lrdb=args.lrdb,
-        seed=args.seed,
-        resume=args.resume,
-        save_dir=args.save_dir,
-        loss=dataclasses.replace(cfg.train.loss, criterion=args.criterion,
-                                 margin=args.margin),
-    )
-    mm = dataclasses.replace(
-        cfg.model.mm,
-        output_type=_tuple_str(args.output_type),
-        final_type=_tuple_str(args.final_type),
-        ode=dataclasses.replace(cfg.model.mm.ode, method=args.odeint_method,
-                                step_size=args.odeint_size),
-    )
-    model = dataclasses.replace(
-        cfg.model, features_dim=args.features_dim, mm=mm,
-        compute_dtype=args.compute_dtype,
-    )
-    return dataclasses.replace(cfg, data=data, train=train, model=model)
+    for row in _FLAG_TABLE:
+        flag, path = row[:2]
+        val = getattr(args, flag)
+        if val is not None:
+            cfg = _replace_path(cfg, path, val)
+
+    if args.exp_name is None:
+        cfg = dataclasses.replace(cfg, exp_name=build_exp_name(cfg))
+    _validate(cfg)
+    return cfg
+
+
+def _validate(cfg: Config) -> None:
+    """Cross-flag validation (reference ``tools/options.py:326-371``)."""
+    if cfg.model.mm.final_fusetype == "add":
+        pass  # any subset of final_type sums at features_dim
+    known_final = {"imageorg", "voxorg", "shalloworg", "stg2image",
+                   "stg2vox", "stg2fuse"}
+    bad = set(cfg.model.mm.final_type) - known_final
+    if bad:
+        raise ValueError(f"unknown final_type components: {sorted(bad)}")
+    known_out = {"image", "vox", "shallow", "addorg"}
+    bad = set(cfg.model.mm.output_type) - known_out
+    if bad:
+        raise ValueError(f"unknown output_type components: {sorted(bad)}")
+    if cfg.data.dataset == "nuscenes":
+        ok = set("fl f fr bl b br".split())
+        bad = set(cfg.data.camnames) - ok
+        if bad:
+            raise ValueError(f"unknown nuscenes camnames: {sorted(bad)}")
+    if cfg.train.train_batch_size <= 0 or cfg.train.infer_batch_size <= 0:
+        raise ValueError("batch sizes must be positive")
+    if "shallow" in cfg.model.mm.output_type \
+            and "addorg" in cfg.model.mm.output_type:
+        raise ValueError("output_type: 'shallow' and 'addorg' are exclusive")

@@ -38,6 +38,7 @@ def train(
     test_ds: PlaceDataset,
     state: Optional[TrainState] = None,
     max_steps: Optional[int] = None,
+    results_logger=None,
 ) -> Dict:
     """Runs the full training loop; returns summary dict with the final
     state, per-epoch recalls, and best metrics."""
@@ -140,6 +141,9 @@ def train(
             best_r1r5r10ep = [recalls[0], recalls[1], recalls[2], epoch]
         log.info("epoch %d: loss=%.4f %s (best ep %d) [%.1fs]", epoch,
                  mean_loss, recalls_str, best_r1r5r10ep[3], time.time() - t0)
+        if results_logger is not None:  # results/{exp_name}.txt parity
+            results_logger.info(
+                f"epoch {epoch}: loss={mean_loss:.4f} {recalls_str}")
         metrics_out.write({
             "epoch": epoch, "loss": mean_loss,
             "recalls": recalls.tolist(), "is_best": is_best,

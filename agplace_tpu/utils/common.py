@@ -115,3 +115,35 @@ def start_profiler_trace(logdir: str) -> None:
 
 def stop_profiler_trace() -> None:
     jax.profiler.stop_trace()
+
+
+class ResultsLogger:
+    """The reference's bespoke results-file system
+    (``tools/options.py:385-419``): per-experiment ``results/{exp_name}.txt``
+    plus a global ``results.txt`` aggregating across experiments, each opened
+    with a timestamp header and closed with a timestamp footer."""
+
+    def __init__(self, exp_name: str, results_dir: str = "results"):
+        import datetime
+        import os
+
+        self.exp_name = exp_name
+        os.makedirs(results_dir, exist_ok=True)
+        self.exp_path = os.path.join(results_dir, f"{exp_name}.txt")
+        self.global_path = os.path.join(
+            os.path.dirname(results_dir) or ".", "results.txt")
+        self._stamp = lambda: datetime.datetime.now().strftime(
+            "%Y-%m-%d %H:%M:%S")
+        for path, mode in ((self.exp_path, "w"), (self.global_path, "a")):
+            with open(path, mode) as f:
+                f.write(f"{self._stamp()}\n{exp_name}\n")
+
+    def info(self, message: str) -> None:
+        for path in (self.exp_path, self.global_path):
+            with open(path, "a") as f:
+                f.write(message + "\n")
+
+    def end(self) -> None:
+        for path in (self.exp_path, self.global_path):
+            with open(path, "a") as f:
+                f.write(f"\n{self._stamp()}\n")

@@ -36,10 +36,14 @@ def build_datasets(cfg):
 
 
 def main() -> None:
+    from agplace_tpu.utils.common import ResultsLogger
+
     cfg = parse_arguments()
     setup_logging(cfg.train.save_dir)
     log = logging.getLogger("main")
     log.info("config: %s", cfg)
+    results = ResultsLogger(cfg.exp_name,
+                            f"{cfg.train.save_dir}/results")
 
     train_ds, test_ds = build_datasets(cfg)
     log.info("train: %d queries / %d tiles; test: %d queries / %d tiles",
@@ -48,10 +52,13 @@ def main() -> None:
 
     from agplace_tpu.train.loop import train
 
-    out = train(cfg, train_ds, test_ds)
+    out = train(cfg, train_ds, test_ds, results_logger=results)
     best = out["best"]
     log.info("Best: R@1 = %.1f   R@5 = %.1f   R@10 = %.1f   epoch = %d",
              best[0], best[1], best[2], best[3])
+    results.info(f"Best: R@1={best[0]:.1f} R@5={best[1]:.1f} "
+                 f"R@10={best[2]:.1f} epoch={best[3]}")
+    results.end()
 
 
 if __name__ == "__main__":
