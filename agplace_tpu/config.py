@@ -111,10 +111,14 @@ class MMConfig:
     voxfe_planes: Tuple[int, ...] = (64, 128, 256)
     voxfe_ntd: int = 0  # num_top_down in MinkFPN
     voxfe_dim: int = 256
-    # voxel-branch execution backend: "dense" = masked dense-grid conv3d
-    # (XLA-native, MXU near-peak; exactly equivalent, see sparse/dense_grid);
-    # "sparse" = padded gather-GEMM (for clouds exceeding the grid extent)
-    voxfe_backend: str = "dense"
+    # voxel-branch execution backend (all three share one parameter tree and
+    # are pairwise equivalence-tested):
+    #   "bev"    = z folded into channels, plain NHWC 2D convs — fastest on
+    #              TPU (sparse/bev_grid.py; avoids the measured 3D-conv
+    #              epilogue pathology, ~3x over "dense" at bench shapes)
+    #   "dense"  = masked dense-grid conv3d (sparse/dense_grid.py)
+    #   "sparse" = padded gather-GEMM (clouds beyond the grid extent)
+    voxfe_backend: str = "bev"
     # LiDAR clouds are flat: z extent 8 voxels (±8 m at quant 2) covers the
     # KITTI/nuScenes vertical range; xy ±128 m
     vox_grid_extent: Tuple[int, int, int] = (128, 128, 8)
@@ -278,6 +282,10 @@ def kitti360_config() -> Config:
     """``python train.py --dataset kitti360 --camnames 00 --epochs_num 40``."""
     return Config(
         data=DataConfig(dataset="kitti360", camnames=("00",)),
+        # z extent 4 cells = +-4 m at quant 2: the HDL-64's vertical FOV
+        # (+2 deg .. -24.9 deg, sensor at 1.73 m) bounds returns to this
+        # band; outliers clamp to the boundary plane like the xy clamp.
+        model=ModelConfig(mm=MMConfig(vox_grid_extent=(128, 128, 4))),
         train=dataclasses.replace(TrainConfig(), epochs_num=40),
         exp_name="kitti360_00",
     )

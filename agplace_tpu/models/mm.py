@@ -86,7 +86,35 @@ class MM(nn.Module):
         vox_keys = None
         voxmaplist = None
         if use_vox:
-            if cfg.voxfe_backend == "dense":
+            if cfg.voxfe_backend == "bev":
+                # z folded into channels: every conv is a plain NHWC 2D conv
+                # (fastest TPU layout; see sparse/bev_grid.py header for the
+                # measured 3D-conv epilogue pathology this avoids)
+                from agplace_tpu.sparse.bev_grid import (
+                    BEVMinkFPN,
+                    BEVMinkGeM,
+                    bev_densify,
+                    unfold,
+                )
+
+                # collate builds constant-1 voxel features (the reference's
+                # semantics): the feature scatter collapses to the mask
+                bev = bev_densify(vox, extent=cfg.vox_grid_extent,
+                                  dtype=self.dtype, ones_feats=True)
+                bev_out, voxmaplist = BEVMinkFPN(
+                    out_channels=cfg.voxfe_planes[-1],
+                    planes=cfg.voxfe_planes,
+                    layers=cfg.voxfe_layers,
+                    num_top_down=cfg.voxfe_ntd,
+                    conv0_kernel_size=5,
+                    block="eca",
+                    train=self.train,
+                    axis_name=self.axis_name,
+                    name="vox_fe",
+                )(bev)
+                voxfeatmap = unfold(bev_out)  # tiny at the deepest scale
+                voxfeatvec = BEVMinkGeM(name="vox_pool")(bev_out)
+            elif cfg.voxfe_backend == "dense":
                 grid = densify(vox, extent=cfg.vox_grid_extent)
                 # keep the big grid activations in compute dtype end-to-end
                 # (fp32<->bf16 round-trips of the [B,X,Y,Z,C] buffers cost
@@ -131,7 +159,11 @@ class MM(nn.Module):
             imageveclist = [jnp.mean(m, axis=(1, 2)) for m in imagemaplist]
             voxveclist = None
             if use_vox:
-                if cfg.voxfe_backend == "dense":
+                if cfg.voxfe_backend == "bev":
+                    from agplace_tpu.sparse.bev_grid import bev_global_avg
+
+                    voxveclist = [bev_global_avg(g) for g in voxmaplist]
+                elif cfg.voxfe_backend == "dense":
                     voxveclist = [grid_global_avg(g) for g in voxmaplist]
                 else:
                     voxveclist = [masked_global_avg(sv)

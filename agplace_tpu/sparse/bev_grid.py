@@ -1,0 +1,370 @@
+"""BEV-folded voxel backend — z folded into channels, the fastest execution
+layout for the MinkFPN branch on TPU.
+
+Motivation (measured on v5e, batch 32, 128x128x8 grid): XLA:TPU's 3D
+convolution path suffers a pathological slowdown whenever a bf16 elementwise
+epilogue (BN affine / relu / mask) is fused after an NHWDC conv — a 4-conv
+stage-0 slice runs 14.4 ms with epilogues vs 2.9 ms bare.  Folding z into the
+channel dimension turns every 3D conv into a plain NHWC 2D conv with a
+block-banded kernel — the single most-optimised path on TPU — and the same
+slice runs 4.7 ms.  FLOP count is comparable (the band is dense over |dz|<=
+k//2, so cost is ~z/k of the padded 3D conv for z<k).
+
+Representation ("z-major fold"):
+    feats [B, X, Y, Z*C]   with channel index  z*C + c
+    mask  [B, X, Y, Z] bool
+
+Equivalence: kernels are stored in the SAME parameter shape as the dense
+backend (``[k, k, k, cin, cout]``), so parameters are interchangeable with
+``sparse/dense_grid.DenseMinkFPN`` and outputs match it exactly (up to bf16
+accumulation order) — tested in tests/test_bev_grid.py.  Reference
+semantics: MinkowskiEngine generalized sparse conv (``models/minkfpn.py``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from agplace_tpu.sparse.dense_grid import DenseVoxelGrid
+from agplace_tpu.sparse.voxels import SparseVoxels
+
+
+@flax.struct.dataclass
+class BEVGrid:
+    feats: jax.Array  # [B, X, Y, Z*C], z-major fold
+    mask: jax.Array  # [B, X, Y, Z] bool
+    z: int = flax.struct.field(pytree_node=False, default=1)
+    stride: int = flax.struct.field(pytree_node=False, default=1)
+
+    @property
+    def channels(self) -> int:
+        return self.feats.shape[-1] // self.z
+
+
+def fold(g: DenseVoxelGrid) -> BEVGrid:
+    """[B,X,Y,Z,C] -> [B,X,Y,Z*C] (free reshape in row-major layout)."""
+    b, x, y, z, c = g.feats.shape
+    return BEVGrid(feats=g.feats.reshape(b, x, y, z * c), mask=g.mask,
+                   z=z, stride=g.stride)
+
+
+def unfold(g: BEVGrid) -> DenseVoxelGrid:
+    b, x, y, zc = g.feats.shape
+    return DenseVoxelGrid(
+        feats=g.feats.reshape(b, x, y, g.z, zc // g.z), mask=g.mask,
+        stride=g.stride)
+
+
+def bev_densify(sv: SparseVoxels, extent: Tuple[int, int, int],
+                dtype: Any = jnp.bfloat16,
+                ones_feats: bool = False) -> BEVGrid:
+    from agplace_tpu.sparse.dense_grid import densify
+
+    g = densify(sv, extent=extent, ones_feats=ones_feats)
+    return fold(g.replace(feats=g.feats.astype(dtype)))
+
+
+def _mask_bev(feats: jax.Array, mask: jax.Array, z: int) -> jax.Array:
+    """Zero features at unoccupied cells (broadcast over the folded C)."""
+    b, x, y, zc = feats.shape
+    f = feats.reshape(b, x, y, z, zc // z)
+    return jnp.where(mask[..., None], f, 0).reshape(b, x, y, zc)
+
+
+def bev_global_avg(g: BEVGrid) -> jax.Array:
+    """Per-channel mean over occupied cells -> [B, C] (fp32 accumulate)."""
+    b, x, y, zc = g.feats.shape
+    f = g.feats.reshape(b, x, y, g.z, zc // g.z).astype(jnp.float32)
+    m = g.mask[..., None].astype(jnp.float32)
+    s = jnp.sum(f * m, axis=(1, 2, 3))
+    n = jnp.maximum(jnp.sum(m, axis=(1, 2, 3)), 1.0)
+    return (s / n).astype(g.feats.dtype)
+
+
+class BEVConv(nn.Module):
+    """Masked ME-equivalent convolution in the folded layout.
+
+    The 3D kernel parameter ``[k,k,k,cin,cout]`` (identical to
+    ``GridConv``) is folded at trace time into a block-banded 2D kernel
+    ``[k,k,Z*cin,Z'*cout]`` with w2[a,b,(zi,ci),(zo,co)] =
+    W3[a,b,zi-zo+k//2,ci,co] (stride 1) / W3[a,b,zi-2*zo,ci,co] (k2s2).
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    use_bias: bool = False
+    compute_dtype: Any = jnp.bfloat16
+    mask_output: bool = True
+
+    @nn.compact
+    def __call__(self, g: BEVGrid) -> BEVGrid:
+        k, s, z = self.kernel_size, self.stride, g.z
+        cin, cout = g.channels, self.features
+        kern = self.param(
+            "kernel",
+            lambda key, shape: nn.initializers.kaiming_normal()(
+                key, (k * k * k * cin, cout)).reshape(shape),
+            (k, k, k, cin, cout),
+        )
+        kern = kern.astype(self.compute_dtype)
+        x = g.feats.astype(self.compute_dtype)
+
+        if k % 2 == 1 and s == 1:
+            z_out = z
+            pad = [(k // 2, k // 2)] * 2
+            spatial_stride = (1, 1)
+            out_mask = g.mask
+
+            def z_in_of(zo, t):
+                return zo + t - k // 2
+        elif k == 2 and s == 2:
+            z_out = (z + 1) // 2
+            pad = [(0, g.feats.shape[1] % 2), (0, g.feats.shape[2] % 2)]
+            spatial_stride = (2, 2)
+            zpad = [(0, z % 2)]
+            out_mask = nn.max_pool(
+                g.mask[..., None].astype(jnp.float32), (2, 2, 2),
+                strides=(2, 2, 2),
+                padding=pad + zpad)[..., 0] > 0
+
+            def z_in_of(zo, t):
+                return 2 * zo + t
+        else:
+            raise NotImplementedError((k, s))
+
+        w2 = jnp.zeros((k, k, z * cin, z_out * cout), kern.dtype)
+        for zo in range(z_out):
+            for t in range(k):
+                zi = z_in_of(zo, t)
+                if 0 <= zi < z:
+                    w2 = w2.at[:, :, zi * cin : (zi + 1) * cin,
+                               zo * cout : (zo + 1) * cout].set(kern[:, :, t])
+
+        out = jax.lax.conv_general_dilated(
+            x, w2, window_strides=spatial_stride, padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ).astype(g.feats.dtype)
+        if self.use_bias:
+            out = out + jnp.tile(
+                self.param("bias", nn.initializers.zeros, (cout,)), z_out)
+        if self.mask_output:
+            out = _mask_bev(out, out_mask, z_out)
+        return BEVGrid(feats=out, mask=out_mask, z=z_out,
+                       stride=g.stride * s)
+
+
+class BEVBatchNorm(nn.Module):
+    """BN over occupied cells (ME.MinkowskiBatchNorm semantics), stats and
+    running averages per channel C (shared across z)."""
+
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, g: BEVGrid) -> BEVGrid:
+        c = g.channels
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,)))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            b, x, y, zc = g.feats.shape
+            f32 = g.feats.reshape(b, x, y, g.z, c).astype(jnp.float32)
+            m = g.mask[..., None].astype(jnp.float32)
+            cnt = jnp.maximum(jnp.sum(m), 1.0)
+            mean = jnp.sum(f32 * m, axis=(0, 1, 2, 3)) / cnt
+            var = jnp.sum((f32 - mean) ** 2 * m, axis=(0, 1, 2, 3)) / cnt
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                var = jax.lax.pmean(var, self.axis_name)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * var)
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        eff_scale = jnp.tile((inv * scale), g.z).astype(g.feats.dtype)
+        eff_bias = jnp.tile((bias - mean * inv * scale), g.z).astype(
+            g.feats.dtype)
+        out = g.feats * eff_scale + eff_bias
+        return g.replace(feats=_mask_bev(out, g.mask, g.z))
+
+
+class BEVECALayer(nn.Module):
+    """ECA over the folded grid (``layers/eca_block.py:13-42``)."""
+
+    channels: int
+    gamma: float = 2.0
+    b: float = 1.0
+
+    @nn.compact
+    def __call__(self, g: BEVGrid) -> BEVGrid:
+        t = int(abs((math.log2(self.channels) + self.b) / self.gamma))
+        k_size = t if t % 2 else t + 1
+        y = bev_global_avg(g).astype(jnp.float32)[..., None]  # [B, C, 1]
+        w = self.param("conv_w", nn.initializers.lecun_normal(),
+                       (k_size, 1, 1))
+        y = jax.lax.conv_general_dilated(
+            y, w, window_strides=(1,),
+            padding=[((k_size - 1) // 2, (k_size - 1) // 2)],
+            dimension_numbers=("NWC", "WIO", "NWC"))[..., 0]
+        y = jax.nn.sigmoid(y)  # [B, C]
+        yz = jnp.tile(y, (1, g.z)).astype(g.feats.dtype)  # [B, Z*C]
+        feats = g.feats * yz[:, None, None, :]
+        return g.replace(feats=_mask_bev(feats, g.mask, g.z))
+
+
+class BEVECABasicBlock(nn.Module):
+    planes: int
+    train: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, g: BEVGrid) -> BEVGrid:
+        def bn(name):
+            return BEVBatchNorm(use_running_average=not self.train,
+                                axis_name=self.axis_name, name=name)
+
+        residual = g
+        out = BEVConv(self.planes, kernel_size=3, mask_output=False,
+                      name="conv1")(g)
+        out = bn("norm1")(out)
+        out = out.replace(
+            feats=_mask_bev(nn.relu(out.feats), out.mask, out.z))
+        out = BEVConv(self.planes, kernel_size=3, mask_output=False,
+                      name="conv2")(out)
+        out = bn("norm2")(out)
+        out = BEVECALayer(self.planes, name="eca")(out)
+        if residual.channels != self.planes:
+            residual = BEVConv(self.planes, kernel_size=1,
+                               mask_output=False,
+                               name="downsample_conv")(residual)
+            residual = bn("downsample_bn")(residual)
+        feats = nn.relu(out.feats + residual.feats)
+        return g.replace(feats=_mask_bev(feats, g.mask, g.z))
+
+
+class BEVBasicBlock(nn.Module):
+    planes: int
+    train: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, g: BEVGrid) -> BEVGrid:
+        def bn(name):
+            return BEVBatchNorm(use_running_average=not self.train,
+                                axis_name=self.axis_name, name=name)
+
+        residual = g
+        out = BEVConv(self.planes, kernel_size=3, mask_output=False,
+                      name="conv1")(g)
+        out = bn("norm1")(out)
+        out = out.replace(
+            feats=_mask_bev(nn.relu(out.feats), out.mask, out.z))
+        out = BEVConv(self.planes, kernel_size=3, mask_output=False,
+                      name="conv2")(out)
+        out = bn("norm2")(out)
+        if residual.channels != self.planes:
+            residual = BEVConv(self.planes, kernel_size=1,
+                               mask_output=False,
+                               name="downsample_conv")(residual)
+            residual = bn("downsample_bn")(residual)
+        feats = nn.relu(out.feats + residual.feats)
+        return g.replace(feats=_mask_bev(feats, g.mask, g.z))
+
+
+class BEVMinkGeM(nn.Module):
+    """GeM over occupied cells (``layers/pooling.py:70-87``)."""
+
+    p_init: float = 3.0
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, g: BEVGrid) -> jax.Array:
+        p = self.param("p", lambda k: jnp.ones((1,)) * self.p_init)
+        clamped = jnp.clip(g.feats.astype(jnp.float32), min=self.eps) ** p
+        pooled = bev_global_avg(
+            g.replace(feats=clamped)).astype(jnp.float32)
+        return pooled ** (1.0 / p)
+
+
+_BEV_BLOCKS = {"eca": BEVECABasicBlock, "basic": BEVBasicBlock}
+
+
+class BEVMinkFPN(nn.Module):
+    """MinkFPN in the folded layout — same architecture and PARAMETER TREE
+    as ``DenseMinkFPN`` (reference ``models/minkfpn.py:19-123``); parameters
+    are interchangeable between the two backends.  The top-down pass (rare:
+    ``num_top_down>0``) runs on the tiny coarse grids via the dense-backend
+    transpose conv.  Returns (final BEVGrid, out_maps list of BEVGrids)."""
+
+    out_channels: int = 256
+    planes: Tuple[int, ...] = (64, 128, 256)
+    layers: Tuple[int, ...] = (1, 1, 1)
+    num_top_down: int = 0
+    conv0_kernel_size: int = 5
+    block: str = "eca"
+    train: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, g: BEVGrid):
+        assert 0 <= self.num_top_down <= len(self.layers)
+        block_cls = _BEV_BLOCKS[self.block]
+        n_stages = len(self.planes)
+
+        def bn(name):
+            return BEVBatchNorm(use_running_average=not self.train,
+                                axis_name=self.axis_name, name=name)
+
+        g = BEVConv(self.planes[0], kernel_size=self.conv0_kernel_size,
+                    mask_output=False, name="conv0")(g)
+        g = bn("bn0")(g)
+        g = g.replace(feats=_mask_bev(nn.relu(g.feats), g.mask, g.z))
+
+        laterals = []
+        if self.num_top_down == n_stages:
+            laterals.append(g)
+        out_maps = []
+        for i in range(n_stages):
+            g = BEVConv(g.channels, kernel_size=2, stride=2,
+                        mask_output=False, name=f"down{i}")(g)
+            g = bn(f"down_bn{i}")(g)
+            g = g.replace(feats=_mask_bev(nn.relu(g.feats), g.mask, g.z))
+            for b in range(self.layers[i]):
+                g = block_cls(self.planes[i], train=self.train,
+                              axis_name=self.axis_name,
+                              name=f"block{i}_{b}")(g)
+            if n_stages - 1 - self.num_top_down <= i < n_stages - 1:
+                laterals.append(g)
+            out_maps.append(g)
+
+        g = BEVConv(self.out_channels, kernel_size=1,
+                    name="lateral_top")(g)
+        out_maps[-1] = g
+
+        for ndx in range(self.num_top_down):
+            from agplace_tpu.sparse.dense_grid import GridConvTranspose
+
+            fine = laterals[-ndx - 1]
+            up = GridConvTranspose(self.out_channels,
+                                   name=f"tconv{ndx}")(unfold(g), fine.mask)
+            lat = BEVConv(self.out_channels, kernel_size=1,
+                          name=f"lateral{ndx}")(fine)
+            upf = fold(up)
+            g = upf.replace(
+                feats=_mask_bev(upf.feats + lat.feats, fine.mask, fine.z))
+            out_maps[-2 - ndx] = g
+        return g, out_maps

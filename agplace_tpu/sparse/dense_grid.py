@@ -45,9 +45,15 @@ class DenseVoxelGrid:
 
 
 def densify(sv: SparseVoxels,
-            extent: Tuple[int, int, int] = DEFAULT_EXTENT) -> DenseVoxelGrid:
+            extent: Tuple[int, int, int] = DEFAULT_EXTENT,
+            ones_feats: bool = False) -> DenseVoxelGrid:
     """SparseVoxels -> dense grid (one scatter).  Coordinates outside the
-    extent are clamped to the boundary cell (mirrors quantize()'s clamp)."""
+    extent are clamped to the boundary cell (mirrors quantize()'s clamp).
+
+    ``ones_feats``: the caller asserts every valid feature row is the
+    constant 1 (true for the LIVE path — the reference uses all-ones voxel
+    features, ``kitti360 collate:127``), letting the feature scatter be
+    skipped: feats = occupancy mask."""
     x, y, z = extent
     b, n, _ = sv.coords.shape
     c = sv.coords // max(sv.stride, 1)
@@ -58,6 +64,16 @@ def densify(sv: SparseVoxels,
     flat = jnp.where(sv.mask, flat, x * y * z)  # padding -> sacrificial slot
 
     ch = sv.channels
+
+    if ones_feats and ch == 1:
+        def scatter_mask(f):
+            return jnp.zeros((x * y * z + 1,), bool).at[f].set(
+                True, mode="drop")[:-1]
+
+        mask = jax.vmap(scatter_mask)(flat).reshape(b, x, y, z)
+        return DenseVoxelGrid(
+            feats=mask[..., None].astype(sv.feats.dtype),
+            mask=mask, stride=sv.stride)
 
     def scatter_one(f, feat):
         grid = jnp.zeros((x * y * z + 1, ch), sv.feats.dtype)

@@ -80,11 +80,23 @@ def main() -> None:
     desc_per_sec = BATCH * ITERS / dt
     n_chips = max(jax.device_count(), 1)
     value = desc_per_sec / n_chips
+
+    # achieved FLOPs/s vs v5e bf16 peak (197 TFLOP/s), from XLA's own cost
+    # analysis of the compiled embed
+    from agplace_tpu.utils.flops import cost_analysis
+
+    try:
+        flops = cost_analysis(
+            lambda: mm.apply(variables, images, vox)["embedding"])["flops"]
+        mfu = flops / (dt / ITERS) / 197e12
+    except Exception:
+        mfu = -1.0
     print(json.dumps({
         "metric": "query_descriptors_per_sec_per_chip",
         "value": round(value, 2),
         "unit": "desc/s/chip",
         "vs_baseline": round(value / BASELINE_DESC_PER_SEC, 3),
+        "mfu": round(mfu, 4),
     }))
 
 
