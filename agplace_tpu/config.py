@@ -111,6 +111,9 @@ class MMConfig:
     voxfe_planes: Tuple[int, ...] = (64, 128, 256)
     voxfe_ntd: int = 0  # num_top_down in MinkFPN
     voxfe_dim: int = 256
+    # FPN block type: eca (live default) | basic | aspp | convnext
+    # (aspp/convnext are the models_minkloc variants, DEAD in the reference)
+    voxfe_block: str = "eca"
     # voxel-branch execution backend (all three share one parameter tree and
     # are pairwise equivalence-tested):
     #   "bev"    = z folded into channels, plain NHWC 2D convs — fastest on
@@ -433,6 +436,8 @@ _FLAG_TABLE = [
     ("mm_voxfe_planes", "model.mm.voxfe_planes", "ints"),
     ("mm_voxfe_ntd", "model.mm.voxfe_ntd", "int"),
     ("mm_voxfe_dim", "model.mm.voxfe_dim", "int"),
+    ("mm_voxfe_block", "model.mm.voxfe_block", "str",
+     ["eca", "basic", "aspp", "convnext"]),
     ("voxfe_backend", "model.mm.voxfe_backend", "str"),
     ("vox_grid_extent", "model.mm.vox_grid_extent", "ints"),
     ("stg2fuse_dim", "model.mm.stg2fuse_dim", "int"),

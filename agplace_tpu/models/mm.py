@@ -107,7 +107,7 @@ class MM(nn.Module):
                     layers=cfg.voxfe_layers,
                     num_top_down=cfg.voxfe_ntd,
                     conv0_kernel_size=5,
-                    block="eca",
+                    block=cfg.voxfe_block,
                     train=self.train,
                     axis_name=self.axis_name,
                     name="vox_fe",
@@ -126,7 +126,7 @@ class MM(nn.Module):
                     layers=cfg.voxfe_layers,
                     num_top_down=cfg.voxfe_ntd,
                     conv0_kernel_size=5,
-                    block="eca",
+                    block=cfg.voxfe_block,
                     train=self.train,
                     axis_name=self.axis_name,
                     name="vox_fe",
@@ -139,7 +139,7 @@ class MM(nn.Module):
                     layers=cfg.voxfe_layers,
                     num_top_down=cfg.voxfe_ntd,
                     conv0_kernel_size=5,
-                    block="eca",
+                    block=cfg.voxfe_block,
                     train=self.train,
                     axis_name=self.axis_name,
                     name="vox_fe",

@@ -285,6 +285,56 @@ class BEVBasicBlock(nn.Module):
         return g.replace(feats=_mask_bev(feats, g.mask, g.z))
 
 
+class BEVASPP(nn.Module):
+    """ASPP block in the folded layout (same params as ``GridASPP``)."""
+
+    planes: int
+    train: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, g: BEVGrid) -> BEVGrid:
+        feats = None
+        for i, k in enumerate((3, 5, 7)):
+            o = BEVConv(self.planes, kernel_size=k, mask_output=False,
+                        name=f"conv{i + 1}")(g)
+            o = BEVBatchNorm(use_running_average=not self.train,
+                             axis_name=self.axis_name,
+                             name=f"bn{i + 1}")(o)
+            r = nn.relu(o.feats)
+            feats = r if feats is None else feats + r
+        return g.replace(feats=_mask_bev(feats, g.mask, g.z))
+
+
+class BEVConvNextBlock(nn.Module):
+    """Sparse-ConvNeXt block in the folded layout (same params as
+    ``GridConvNextBlock``)."""
+
+    planes: int
+    kernel_size: int = 3
+    train: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, g: BEVGrid) -> BEVGrid:
+        residual = g
+        out = BEVConv(self.planes, kernel_size=self.kernel_size,
+                      mask_output=False, name="conv1")(g)
+        out = BEVBatchNorm(use_running_average=not self.train,
+                           axis_name=self.axis_name, name="bn")(out)
+        out = BEVConv(4 * self.planes, kernel_size=1,
+                      mask_output=False, name="conv2")(out)
+        out = out.replace(feats=nn.relu(out.feats))
+        out = BEVConv(self.planes, kernel_size=1, mask_output=False,
+                      name="conv3")(out)
+        if residual.channels != self.planes:
+            residual = BEVConv(self.planes, kernel_size=1,
+                               mask_output=False,
+                               name="downsample_conv")(residual)
+        feats = out.feats + residual.feats
+        return g.replace(feats=_mask_bev(feats, g.mask, g.z))
+
+
 class BEVMinkGeM(nn.Module):
     """GeM over occupied cells (``layers/pooling.py:70-87``)."""
 
@@ -300,7 +350,15 @@ class BEVMinkGeM(nn.Module):
         return pooled ** (1.0 / p)
 
 
-_BEV_BLOCKS = {"eca": BEVECABasicBlock, "basic": BEVBasicBlock}
+_BEV_BLOCKS = {"eca": BEVECABasicBlock, "basic": BEVBasicBlock,
+               "aspp": BEVASPP, "convnext": BEVConvNextBlock}
+
+
+def GeneralMinkFPN(**kwargs) -> "BEVMinkFPN":
+    """Plain-pyramid variant (``models/minkfpn.py:131-205``) in the folded
+    layout: the FPN with ``num_top_down=0``."""
+    kwargs["num_top_down"] = 0
+    return BEVMinkFPN(**kwargs)
 
 
 class BEVMinkFPN(nn.Module):

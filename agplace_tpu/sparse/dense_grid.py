@@ -318,6 +318,62 @@ class GridBasicBlock(nn.Module):
         return g.replace(feats=_mask_feats(feats, g.mask))
 
 
+class GridASPP(nn.Module):
+    """ASPP block (``models_minkloc/minkfpn.py:14-37``, DEAD in the
+    reference — rebuilt with intended behaviour): three parallel odd convs
+    (k=3/5/7), each BN+ReLU, summed.  Convs map cin->planes so the block
+    also works at FPN channel changes (the reference's dim->dim would not).
+    """
+
+    planes: int
+    train: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, g: DenseVoxelGrid) -> DenseVoxelGrid:
+        feats = None
+        for i, k in enumerate((3, 5, 7)):
+            o = GridConv(self.planes, kernel_size=k, mask_output=False,
+                         name=f"conv{i + 1}")(g)
+            o = GridBatchNorm(use_running_average=not self.train,
+                              axis_name=self.axis_name,
+                              name=f"bn{i + 1}")(o)
+            r = nn.relu(o.feats)
+            feats = r if feats is None else feats + r
+        return g.replace(feats=_mask_feats(feats, g.mask))
+
+
+class GridConvNextBlock(nn.Module):
+    """Sparse-ConvNeXt block (``models_minkloc/minkfpn.py:41-60``, DEAD in
+    the reference which references an undefined ``opt``): conv k -> BN ->
+    1x1 expand 4x -> ReLU -> 1x1 project -> + identity (1x1 downsample
+    added when channels change — intended-behaviour fix)."""
+
+    planes: int
+    kernel_size: int = 3
+    train: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, g: DenseVoxelGrid) -> DenseVoxelGrid:
+        residual = g
+        out = GridConv(self.planes, kernel_size=self.kernel_size,
+                       mask_output=False, name="conv1")(g)
+        out = GridBatchNorm(use_running_average=not self.train,
+                            axis_name=self.axis_name, name="bn")(out)
+        out = GridConv(4 * self.planes, kernel_size=1,
+                       mask_output=False, name="conv2")(out)
+        out = out.replace(feats=nn.relu(out.feats))
+        out = GridConv(self.planes, kernel_size=1, mask_output=False,
+                       name="conv3")(out)
+        if residual.channels != self.planes:
+            residual = GridConv(self.planes, kernel_size=1,
+                                mask_output=False,
+                                name="downsample_conv")(residual)
+        feats = out.feats + residual.feats  # no final relu (ref :53-59)
+        return g.replace(feats=_mask_feats(feats, g.mask))
+
+
 class GridMinkGeM(nn.Module):
     """GeM over occupied cells (``layers/pooling.py:70-87``)."""
 
@@ -363,7 +419,16 @@ class GridConvTranspose(nn.Module):
                               stride=coarse.stride // 2)
 
 
-_GRID_BLOCKS = {"eca": GridECABasicBlock, "basic": GridBasicBlock}
+_GRID_BLOCKS = {"eca": GridECABasicBlock, "basic": GridBasicBlock,
+                "aspp": GridASPP, "convnext": GridConvNextBlock}
+
+
+def GeneralMinkFPN(**kwargs) -> "DenseMinkFPN":
+    """The reference's distinct plain-pyramid variant
+    (``models/minkfpn.py:131-205``): identical bottom-up stack, no top-down
+    pass — i.e. the FPN with ``num_top_down=0``."""
+    kwargs["num_top_down"] = 0
+    return DenseMinkFPN(**kwargs)
 
 
 class DenseMinkFPN(nn.Module):

@@ -173,3 +173,53 @@ def test_mm_bev_backend_matches_dense_backend():
     np.testing.assert_allclose(np.asarray(out_b["embedding"]),
                                np.asarray(out_d["embedding"]),
                                rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("block", ["aspp", "convnext"])
+def test_minkloc_variant_blocks_bev_match_dense(block):
+    """models_minkloc ASPP / sparse-ConvNeXt blocks (DEAD in the reference,
+    rebuilt with intended behaviour): bev and dense implementations agree
+    under shared params, both standalone and inside the FPN registry."""
+    from agplace_tpu.sparse.bev_grid import BEVASPP, BEVConvNextBlock
+    from agplace_tpu.sparse.dense_grid import GridASPP, GridConvNextBlock
+
+    g = _grid(seed=11, extent=(12, 12, 4), c=8)
+    dense_cls = {"aspp": GridASPP, "convnext": GridConvNextBlock}[block]
+    bev_cls = {"aspp": BEVASPP, "convnext": BEVConvNextBlock}[block]
+    d = dense_cls(planes=8)
+    bv = bev_cls(planes=8)
+    v = d.init(jax.random.PRNGKey(0), g)
+    out_d = d.apply(v, g)
+    out_b = bv.apply(v, fold(g))
+    np.testing.assert_allclose(np.asarray(unfold(out_b).feats),
+                               np.asarray(out_d.feats), rtol=2e-3, atol=2e-3)
+
+    # channel-changing position inside the FPN (planes change at stage 1)
+    kw = dict(out_channels=16, planes=(8, 16, 16), layers=(1, 1, 1),
+              num_top_down=0, conv0_kernel_size=3, block=block, train=False)
+    fd = DenseMinkFPN(**kw)
+    fb = BEVMinkFPN(**kw)
+    vf = fd.init(jax.random.PRNGKey(1), g)
+    od, _ = fd.apply(vf, g)
+    ob, _ = fb.apply(vf, fold(g))
+    np.testing.assert_allclose(np.asarray(unfold(ob).feats),
+                               np.asarray(od.feats), rtol=2e-3, atol=2e-3)
+
+
+def test_general_minkfpn_alias():
+    """GeneralMinkFPN (reference ``models/minkfpn.py:131-205``) == the FPN
+    with no top-down pass, on both backends."""
+    from agplace_tpu.sparse import bev_grid, dense_grid
+
+    g = _grid(seed=12, extent=(12, 12, 4))
+    gen_d = dense_grid.GeneralMinkFPN(out_channels=16, planes=(8, 16),
+                                      layers=(1, 1), block="basic")
+    assert gen_d.num_top_down == 0
+    v = gen_d.init(jax.random.PRNGKey(0), g)
+    out, maps = gen_d.apply(v, g)
+    assert out.channels == 16 and len(maps) == 2
+    gen_b = bev_grid.GeneralMinkFPN(out_channels=16, planes=(8, 16),
+                                    layers=(1, 1), block="basic")
+    ob, _ = gen_b.apply(v, fold(g))
+    np.testing.assert_allclose(np.asarray(unfold(ob).feats),
+                               np.asarray(out.feats), rtol=2e-3, atol=2e-3)
