@@ -53,6 +53,13 @@ class DataConfig:
     q_jitter: float = 0.0
     db_jitter: float = 0.0
     color_jitter: float = 0.0
+    # per-component jitter strengths (reference --brightness/--contrast/
+    # --saturation/--hue feeding torchvision ColorJitter); None = use the
+    # uniform q_jitter/db_jitter strength for that component
+    brightness: Optional[float] = None
+    contrast: Optional[float] = None
+    saturation: Optional[float] = None
+    hue: Optional[float] = None
     # per-dataset normalisation: kitti360 uses mean .5/std .22
     # (datasets_ws_kitti360.py:244), nuscenes uses ImageNet stats
     # (datasets_ws_nuscenes.py:293).
@@ -96,6 +103,12 @@ class ODEConfig:
     atol: float = 1e-3
     dopri5_max_steps: int = 64  # static bound for the adaptive integrator
     use_pallas: bool = True  # fused VMEM-resident Euler chain on TPU
+    # SDE / CDE solver knobs (reference --sdeint_*/--cdeint_*,
+    # tools/options.py:134-137; consumed by ode/sde.py)
+    sdeint_method: str = "euler_maruyama"
+    sdeint_size: float = 0.1
+    cdeint_method: str = "euler"
+    cdeint_size: float = 0.1
 
 
 @dataclass(frozen=True)
@@ -200,6 +213,15 @@ class ModelConfig:
     # back to random init with a logged warning when none exists.
     pretrained: bool = True
     pretrained_path: Optional[str] = None
+    # DVGLB transformer-backbone knobs (reference --trunc_te/--freeze_te,
+    # model/network.py:157-183): truncate the encoder at layer N / freeze
+    # layers up to N (optimizer zero-update labels)
+    trunc_te: Optional[int] = None
+    freeze_te: Optional[int] = None
+    # share the query tower as the db tower (reference --share_qdb,
+    # train.py:193-196; only coherent for image-only query towers — the
+    # reference itself crashes with MM, mm.py:165-170)
+    share_qdb: bool = False
 
 
 @dataclass(frozen=True)
@@ -229,6 +251,11 @@ class TrainConfig:
     lr: float = 1e-5  # image branch + fusion
     lrpc: float = 1e-4  # voxel branch
     lrdb: float = 1e-5  # aerial tower
+    # CRN aggregation LR groups (reference --lr_crn_layer/--lr_crn_net,
+    # train.py:200-210: crn params at lr_crn_layer, rest of that tower at
+    # lr_crn_net)
+    lr_crn_layer: float = 5e-3
+    lr_crn_net: float = 5e-4
     seed: int = 0
     patience: int = 50
     train_modelq: bool = True
@@ -379,6 +406,7 @@ _KINDS = {
     "floats": _tuple_float,
     "opt_int": _opt(int),
     "opt_str": _opt(str),
+    "opt_float": _opt(float),
 }
 
 # (flag, dotted config path, kind[, choices]) — reference flag names kept
@@ -402,6 +430,10 @@ _FLAG_TABLE = [
     ("q_jitter", "data.q_jitter", "float"),
     ("db_jitter", "data.db_jitter", "float"),
     ("color_jitter", "data.color_jitter", "float"),
+    ("brightness", "data.brightness", "opt_float"),
+    ("contrast", "data.contrast", "opt_float"),
+    ("saturation", "data.saturation", "opt_float"),
+    ("hue", "data.hue", "opt_float"),
     ("norm_mean", "data.norm_mean", "floats"),
     ("norm_std", "data.norm_std", "floats"),
     ("nuscenes_cam_resize", "data.nuscenes_cam_resize", "int"),
@@ -427,6 +459,9 @@ _FLAG_TABLE = [
      ["float32", "bfloat16"]),
     ("pretrained", "model.pretrained", "bool"),
     ("pretrained_path", "model.pretrained_path", "opt_str"),
+    ("trunc_te", "model.trunc_te", "opt_int"),
+    ("freeze_te", "model.freeze_te", "opt_int"),
+    ("share_qdb", "model.share_qdb", "bool"),
     # MM tower (options.py:100-156)
     ("mm_imgfe", "model.mm.imgfe", "str"),
     ("mm_imgfe_layers", "model.mm.imgfe_layers", "ints"),
@@ -484,6 +519,10 @@ _FLAG_TABLE = [
     ("odeint_atol", "model.mm.ode.atol", "float"),
     ("dopri5_max_steps", "model.mm.ode.dopri5_max_steps", "int"),
     ("use_pallas", "model.mm.ode.use_pallas", "bool"),
+    ("sdeint_method", "model.mm.ode.sdeint_method", "str"),
+    ("sdeint_size", "model.mm.ode.sdeint_size", "float"),
+    ("cdeint_method", "model.mm.ode.cdeint_method", "str"),
+    ("cdeint_size", "model.mm.ode.cdeint_size", "float"),
     # train (options.py:33-58)
     ("epochs_num", "train.epochs_num", "int"),
     ("train_batch_size", "train.train_batch_size", "int"),
@@ -498,6 +537,8 @@ _FLAG_TABLE = [
     ("lr", "train.lr", "float"),
     ("lrpc", "train.lrpc", "float"),
     ("lrdb", "train.lrdb", "float"),
+    ("lr_crn_layer", "train.lr_crn_layer", "float"),
+    ("lr_crn_net", "train.lr_crn_net", "float"),
     ("seed", "train.seed", "int"),
     ("patience", "train.patience", "int"),
     ("train_modelq", "train.train_modelq", "bool"),

@@ -145,8 +145,10 @@ class KITTI360Dataset(PlaceDataset):
         img = load_image_rgb(self.queries_infos[idx][key])
         img = resize(img, self.cfg.data.q_resize)
         if self.is_train_transform and self.cfg.data.q_jitter > 0:
-            img = color_jitter(img, self.cfg.data.q_jitter,
-                               np.random.default_rng())
+            d = self.cfg.data
+            img = color_jitter(img, d.q_jitter, np.random.default_rng(),
+                               brightness=d.brightness, contrast=d.contrast,
+                               saturation=d.saturation, hue_strength=d.hue)
         # KITTI-360 normalisation: mean .5 / std .22 (kitti360:244)
         return normalize(img, self.cfg.data.norm_mean, self.cfg.data.norm_std)
 
@@ -170,8 +172,13 @@ class KITTI360Dataset(PlaceDataset):
             img = center_crop(img, self.cfg.data.db_cropsize)
             img = resize(img, self.cfg.data.db_resize)
             if self.is_train_transform and self.cfg.data.db_jitter > 0:
-                img = color_jitter(img, self.cfg.data.db_jitter,
-                                   np.random.default_rng())
+                d = self.cfg.data
+                img = color_jitter(img, d.db_jitter,
+                                   np.random.default_rng(),
+                                   brightness=d.brightness,
+                                   contrast=d.contrast,
+                                   saturation=d.saturation,
+                                   hue_strength=d.hue)
             maps.append(normalize(img, self.cfg.data.norm_mean,
                                   self.cfg.data.norm_std))
         return np.stack(maps)

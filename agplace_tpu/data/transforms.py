@@ -55,21 +55,31 @@ def normalize(img: np.ndarray, mean: Sequence[float],
 
 
 def color_jitter(img: np.ndarray, strength: float,
-                 rng: np.random.Generator) -> np.ndarray:
+                 rng: np.random.Generator,
+                 brightness: "float | None" = None,
+                 contrast: "float | None" = None,
+                 saturation: "float | None" = None,
+                 hue_strength: "float | None" = None) -> np.ndarray:
     """Brightness/contrast/saturation/hue jitter matching
-    torchvision.ColorJitter(b=c=s=j, hue=min(.5, j)) semantics closely
-    enough for augmentation purposes (applied in [0,1] space)."""
-    if strength <= 0:
+    torchvision.ColorJitter semantics closely enough for augmentation
+    purposes (applied in [0,1] space).  ``strength`` is the uniform
+    default; the per-component arguments override it (reference
+    ``--brightness/--contrast/--saturation/--hue`` flags)."""
+    b_s = strength if brightness is None else brightness
+    c_s = strength if contrast is None else contrast
+    s_s = strength if saturation is None else saturation
+    h_s = strength if hue_strength is None else hue_strength
+    if max(b_s, c_s, s_s, h_s) <= 0:
         return img
-    b = rng.uniform(max(0, 1 - strength), 1 + strength)
+    b = rng.uniform(max(0, 1 - b_s), 1 + b_s)
     img = np.clip(img * b, 0, 1)
-    c = rng.uniform(max(0, 1 - strength), 1 + strength)
+    c = rng.uniform(max(0, 1 - c_s), 1 + c_s)
     gray = img.mean(axis=(0, 1, 2), keepdims=True)
     img = np.clip((img - gray) * c + gray, 0, 1)
-    s = rng.uniform(max(0, 1 - strength), 1 + strength)
+    s = rng.uniform(max(0, 1 - s_s), 1 + s_s)
     lum = img @ np.array([0.299, 0.587, 0.114], np.float32)
     img = np.clip((img - lum[..., None]) * s + lum[..., None], 0, 1)
-    hue = rng.uniform(-min(0.5, strength), min(0.5, strength))
+    hue = rng.uniform(-min(0.5, h_s), min(0.5, h_s))
     if abs(hue) > 1e-6:
         # cheap hue rotation via channel-mix approximation
         cos_h = np.cos(2 * np.pi * hue)

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import flax.linen as nn
 import jax.numpy as jnp
 
 from agplace_tpu.config import Config
@@ -47,8 +48,41 @@ def make_query_model(cfg: Config, train: bool = False,
             netvlad_clusters=cfg.model.netvlad_clusters,
             fc_output_dim=cfg.model.fc_output_dim,
             l2=cfg.model.l2,
+            trunc_te=cfg.model.trunc_te,
             train=train, axis_name=axis_name)
     raise NotImplementedError(f"modelq={name}")
+
+
+def shared_db_apply(modelq: str, model, variables, db_map,
+                    mutable: bool = False):
+    """``--share_qdb``: embed aerial maps with the QUERY tower
+    (``train.py:193-196``).  Handles the 5D/6D entries like DBVanilla2D
+    (per-map L2 then mean over map types).  Only coherent for image-only
+    query towers — the reference itself crashes with MM
+    (``network_mm/mm.py:165-170``)."""
+    import jax.numpy as jnp
+
+    if modelq != "geoloc":
+        raise NotImplementedError(
+            "share_qdb needs an image-only query tower (modelq='geoloc'); "
+            "the reference MM raises NotImplementedError identically")
+    nd = db_map.ndim
+    if nd == 5:
+        db_map = db_map[:, None]
+    b, ndb, nmap, h, w, c = db_map.shape
+    flat = db_map.reshape(b * ndb * nmap, h, w, c)
+    if mutable:
+        out, mut = model.apply(variables, flat, mutable=["batch_stats"])
+    else:
+        out, mut = model.apply(variables, flat), {}
+    emb = out["embedding"] if isinstance(out, dict) else out
+    emb = emb.reshape(b * ndb, nmap, -1)
+    emb = emb / jnp.maximum(
+        jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+    emb = jnp.mean(emb, axis=1).reshape(b, ndb, -1)
+    if nd == 5:
+        emb = emb[:, 0]
+    return emb, mut
 
 
 def query_args(modelq: str, image, vox) -> tuple:
@@ -101,11 +135,42 @@ def make_db_model(cfg: Config, train: bool = False,
             final_l2=cfg.model.mm.final_l2,
             train=train, axis_name=axis_name, dtype=dtype)
     if name == "geoloc":
+        return GeoDB(cfg=cfg, train=train, axis_name=axis_name)
+    raise NotImplementedError(f"modeldb={name}")
+
+
+class GeoDB(nn.Module):
+    """GeoLocalizationNet as the aerial tower: handles the db tower's 5D
+    (cache/test) and 6D (train) entries like DBVanilla2D — flatten the
+    B*NDB*NMAP maps into one batch, embed, per-map L2, mean over map types."""
+
+    cfg: Config
+    train: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, db_map):
         from agplace_tpu.models.geoloc import GeoLocalizationNet
 
-        return GeoLocalizationNet(
-            backbone=cfg.model.backbone,
-            aggregation=cfg.model.aggregation,
-            features_dim=cfg.model.features_dim,
-            train=train, axis_name=axis_name)
-    raise NotImplementedError(f"modeldb={name}")
+        nd = db_map.ndim
+        if nd == 5:
+            db_map = db_map[:, None]
+        b, ndb, nmap, h, w, c = db_map.shape
+        flat = db_map.reshape(b * ndb * nmap, h, w, c)
+        emb = GeoLocalizationNet(
+            backbone=self.cfg.model.backbone,
+            aggregation=self.cfg.model.aggregation,
+            features_dim=self.cfg.model.features_dim,
+            netvlad_clusters=self.cfg.model.netvlad_clusters,
+            fc_output_dim=self.cfg.model.fc_output_dim,
+            l2=self.cfg.model.l2,
+            trunc_te=self.cfg.model.trunc_te,
+            train=self.train, axis_name=self.axis_name,
+            name="net")(flat)
+        emb = emb.reshape(b * ndb, nmap, -1)
+        emb = emb / jnp.maximum(
+            jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+        emb = jnp.mean(emb, axis=1).reshape(b, ndb, -1)
+        if nd == 5:
+            emb = emb[:, 0]
+        return emb

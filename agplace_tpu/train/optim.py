@@ -5,11 +5,19 @@ one for the query tower with per-module groups: the voxel branch at lrpc and
 everything else at lr (``/root/reference/train.py:173-214``).  Here that is a
 single labelled ``optax.multi_transform`` over the combined param tree
 {"mm": ..., "db": ...}, which lets one jitted train step drive both towers.
+
+Special groups:
+* ``crn=True`` — the reference's CRN schedule (``train.py:200-210``): CRN
+  params train at ``lr_crn_layer``, the rest of that tower at ``lr_crn_net``.
+* ``freeze_te=N`` — DVGLB transformer freeze (``model/network.py:160-183``):
+  backbone encoder layers with index <= N (and the non-indexed stem/embed)
+  get zero updates.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict
+import re
+from typing import Any, Dict, Optional
 
 import jax
 import optax
@@ -20,13 +28,27 @@ from agplace_tpu.config import TrainConfig
 _PC_MODULES = ("vox_fe", "vox_pool")
 _PC_WEIGHTS = ("vox_weight",)
 
+_TE_LAYER = re.compile(r"_(\d+)$")
 
-def label_params(params: Dict[str, Any]) -> Dict[str, Any]:
+
+def label_params(params: Dict[str, Any], crn: bool = False,
+                 freeze_te: Optional[int] = None) -> Dict[str, Any]:
     """'db' for the aerial tower, 'pc' for the voxel branch of the query
-    tower, 'base' for the rest."""
+    tower, 'base' for the rest; 'crn_layer' for CRN params when ``crn``;
+    'frozen' for backbone encoder layers <= ``freeze_te``."""
 
     def label_of(path) -> str:
-        keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
+        keys = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
+        if crn and any(k == "crn" for k in keys):
+            return "crn_layer"
+        if freeze_te is not None and "backbone" in keys:
+            after = keys[keys.index("backbone") + 1 :]
+            if after:
+                m = _TE_LAYER.search(after[0])
+                # indexed encoder layers <= N frozen; non-indexed stem/embed
+                # frozen whenever freeze_te >= 0 (ref :160-165 semantics)
+                if m is None or int(m.group(1)) <= freeze_te:
+                    return "frozen"
         if keys and keys[0] == "db":
             return "db"
         if len(keys) >= 2 and keys[0] == "mm":
@@ -38,17 +60,27 @@ def label_params(params: Dict[str, Any]) -> Dict[str, Any]:
         lambda path, _: label_of(path), params)
 
 
-def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+def make_optimizer(cfg: TrainConfig, crn: bool = False,
+                   freeze_te: Optional[int] = None
+                   ) -> optax.GradientTransformation:
     if cfg.optim == "adam":
         make = lambda lr: optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
     elif cfg.optim == "sgd":
-        make = lambda lr: optax.sgd(lr)
+        # the reference's CRN-SGD uses momentum+weight decay (train.py:209)
+        make = (lambda lr: optax.chain(
+            optax.add_decayed_weights(1e-3), optax.sgd(lr, momentum=0.9))
+            ) if crn else (lambda lr: optax.sgd(lr))
     else:
         raise NotImplementedError(cfg.optim)
 
     transforms = {
         "base": make(cfg.lr) if cfg.train_modelq else optax.set_to_zero(),
         "pc": make(cfg.lrpc) if cfg.train_modelq else optax.set_to_zero(),
-        "db": make(cfg.lrdb) if cfg.train_modeldb else optax.set_to_zero(),
+        "db": make(cfg.lr_crn_net if crn else cfg.lrdb)
+        if cfg.train_modeldb else optax.set_to_zero(),
+        "crn_layer": make(cfg.lr_crn_layer),
+        "frozen": optax.set_to_zero(),
     }
-    return optax.multi_transform(transforms, label_params)
+    return optax.multi_transform(
+        transforms,
+        lambda params: label_params(params, crn=crn, freeze_te=freeze_te))

@@ -31,6 +31,7 @@ from agplace_tpu.models.factory import (
     make_query_model,
     query_apply,
     query_init,
+    shared_db_apply,
 )
 from agplace_tpu.sparse.voxels import SparseVoxels
 from agplace_tpu.train.losses import (
@@ -44,8 +45,18 @@ from agplace_tpu.train.state import TrainState
 
 def build_models(cfg: Config, train: bool):
     """Both towers from the factory (the 'mm' pytree key names the query
-    tower regardless of ``modelq``, for checkpoint stability)."""
-    return make_query_model(cfg, train=train), make_db_model(cfg, train=train)
+    tower regardless of ``modelq``, for checkpoint stability).  With
+    ``share_qdb`` the db tower is the query tower itself (db=None here; the
+    apply paths route through ``shared_db_apply``)."""
+    q = make_query_model(cfg, train=train)
+    db = None if cfg.model.share_qdb else make_db_model(cfg, train=train)
+    return q, db
+
+
+def _make_tx(cfg: Config):
+    return make_optimizer(cfg.train,
+                          crn=cfg.model.aggregation == "crn",
+                          freeze_te=cfg.model.freeze_te)
 
 
 def init_state(cfg: Config, rng: jax.Array, sample_batch,
@@ -68,7 +79,8 @@ def init_state(cfg: Config, rng: jax.Array, sample_batch,
 
         mm_vars = initialize_netvlad_from_dataset(
             cfg, mm_vars, train_ds, seed=cfg.train.seed)
-    db_vars = db.init(k2, sample_batch["db_map"])
+    db_vars = ({"params": {}} if db is None
+               else db.init(k2, sample_batch["db_map"]))
     params = {"mm": mm_vars["params"], "db": db_vars["params"]}
     batch_stats = {
         "mm": mm_vars.get("batch_stats", {}),
@@ -77,7 +89,7 @@ def init_state(cfg: Config, rng: jax.Array, sample_batch,
     if cfg.model.pretrained:
         params, batch_stats = apply_pretrained_backbones(
             cfg, params, batch_stats)
-    tx = make_optimizer(cfg.train)
+    tx = _make_tx(cfg)
     return TrainState.create(params, batch_stats, tx)
 
 
@@ -145,7 +157,7 @@ def make_train_step(cfg: Config):
     """Returns ``train_step(state, batch) -> (state, metrics)``, jitted with
     donated state."""
     mm, db = build_models(cfg, train=True)
-    tx = make_optimizer(cfg.train)
+    tx = _make_tx(cfg)
     loss_cfg = cfg.train.loss
     bs = cfg.train.train_batch_size
     nneg = cfg.train.negs_num_per_query
@@ -156,10 +168,16 @@ def make_train_step(cfg: Config):
             {"params": params["mm"], "batch_stats": batch_stats["mm"]},
             batch["query_image"], batch["vox"], mutable=True,
         )
-        aerial, db_mut = db.apply(
-            {"params": params["db"], "batch_stats": batch_stats["db"]},
-            batch["db_map"], mutable=["batch_stats"],
-        )  # [B, 1+nneg, C]
+        if db is None:  # --share_qdb: query tower embeds the aerial maps
+            aerial, db_mut = shared_db_apply(
+                cfg.model.modelq, mm,
+                {"params": params["mm"], "batch_stats": batch_stats["mm"]},
+                batch["db_map"], mutable=True)
+        else:
+            aerial, db_mut = db.apply(
+                {"params": params["db"], "batch_stats": batch_stats["db"]},
+                batch["db_map"], mutable=["batch_stats"],
+            )  # [B, 1+nneg, C]
 
         loss = 0.0
         metrics = {}
@@ -191,10 +209,21 @@ def make_train_step(cfg: Config):
         loss = loss + tloss * loss_cfg.tripletloss_weight
         metrics["triplet_loss"] = tloss
         metrics["loss"] = loss
-        new_stats = {
-            "mm": mm_mut.get("batch_stats", batch_stats["mm"]),
-            "db": db_mut.get("batch_stats", batch_stats["db"]),
-        }
+        if db is None:
+            # shared tower: the aerial pass ran after the query pass, so its
+            # batch-stats mutation is the latest (reference: one model, BN
+            # stats advanced by both forwards)
+            new_stats = {
+                "mm": db_mut.get("batch_stats",
+                                 mm_mut.get("batch_stats",
+                                            batch_stats["mm"])),
+                "db": {},
+            }
+        else:
+            new_stats = {
+                "mm": mm_mut.get("batch_stats", batch_stats["mm"]),
+                "db": db_mut.get("batch_stats", batch_stats["db"]),
+            }
         return loss, (metrics, new_stats)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -232,6 +261,12 @@ def make_infer_fns(cfg: Config):
     @jax.jit
     def embed_db(params, batch_stats, db_map) -> jax.Array:
         # db_map: [B, NMAP, H, W, 3] cache entry -> [B, C]
+        if db is None:  # --share_qdb
+            out, _ = shared_db_apply(
+                cfg.model.modelq, mm,
+                {"params": params["mm"], "batch_stats": batch_stats["mm"]},
+                db_map)
+            return out
         return db.apply(
             {"params": params["db"], "batch_stats": batch_stats["db"]},
             db_map)
