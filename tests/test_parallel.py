@@ -82,3 +82,24 @@ def test_data_parallel_train_step_matches_single_device():
     for a, b in zip(l1, l8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0,
                                    atol=5e-4)
+
+
+def test_bootstrap_single_process_noop(monkeypatch):
+    """initialize_distributed is a silent no-op without a coordinator."""
+    from agplace_tpu.parallel import bootstrap
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                "TPU_WORKER_HOSTNAMES"):
+        monkeypatch.delenv(var, raising=False)
+    assert bootstrap.initialize_distributed() is False
+    # single-process hybrid mesh falls back to a flat ICI mesh
+    mesh = bootstrap.make_hybrid_mesh(gallery_parallel=2)
+    assert dict(mesh.shape) == {"data": 4, "gallery": 2}
+    # and is usable for the sharded retrieval engine
+    rng = np.random.default_rng(0)
+    db = rng.standard_normal((64, 16)).astype(np.float32)
+    q = rng.standard_normal((4, 16)).astype(np.float32)
+    db_sh = shard_gallery(mesh, db)
+    d, i = sharded_l2_topk(mesh, jnp.asarray(q), db_sh, k=3)
+    d_ref, i_ref = l2_topk(jnp.asarray(q), jnp.asarray(db), 3)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))

@@ -36,8 +36,10 @@ def build_datasets(cfg):
 
 
 def main() -> None:
+    from agplace_tpu.parallel.bootstrap import initialize_distributed
     from agplace_tpu.utils.common import ResultsLogger
 
+    initialize_distributed()  # no-op single-host; env/pod-driven otherwise
     cfg = parse_arguments()
     setup_logging(cfg.train.save_dir)
     log = logging.getLogger("main")
