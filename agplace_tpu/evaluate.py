@@ -58,7 +58,6 @@ def extract_features(
     (final batch padded, mirroring the reference's two DataLoader passes).
     ``mesh``: optional data mesh — embed batches shard over its data axis."""
     bs = cfg.train.infer_batch_size
-    dim = cfg.model.features_dim
 
     db_feats = batched_embed_db(ds, list(range(ds.database_num)), embed_db,
                                 params, batch_stats, bs, mesh=mesh)

@@ -84,8 +84,6 @@ def shard_batch(mesh: Mesh, batch: Any, axis: str = "data") -> Any:
     """Place a host batch on the mesh with the leading dim sharded over
     ``axis`` (and everything else replicated).  Works on pytrees including
     SparseVoxels."""
-    sh = batch_sharding(mesh, axis)
-
     def put(x):
         import jax.numpy as jnp
 

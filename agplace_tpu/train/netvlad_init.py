@@ -66,26 +66,43 @@ def initialize_netvlad(
 
 
 def initialize_netvlad_from_dataset(cfg, variables: Dict, ds, seed: int = 0,
-                                    n_images: int = 32) -> Dict:
-    """Dataset-driven init for a GeoLocalizationNet query tower: sample
-    query images, run the tower's own backbone, k-means the descriptors, and
-    set the netvlad/crn cluster params.  Called from ``init_state`` when
-    ``aggregation in ('netvlad','crn')`` — the reference's intent at
-    ``train.py:156-161``."""
+                                    n_images: int = 32,
+                                    tower: str = "query") -> Dict:
+    """Dataset-driven init for a GeoLocalizationNet tower: sample images
+    (queries for the query tower, aerial tiles for the db tower), run the
+    tower's own backbone, k-means the descriptors, and set the netvlad/crn
+    cluster params.  Called from ``init_state`` when ``aggregation in
+    ('netvlad','crn')`` — the reference's intent at ``train.py:156-161``
+    (which inits the db model there)."""
     import jax
 
-    from agplace_tpu.data.base import collate_cache_q
+    from agplace_tpu.data.base import collate_cache_db, collate_cache_q
     from agplace_tpu.models.geoloc import _RESNET_BACKBONES
 
     rng = np.random.default_rng(seed)
-    n = min(n_images, ds.queries_num)
-    idx = rng.choice(ds.queries_num, size=n, replace=False)
-    images, _ = collate_cache_q(ds, list(idx), cfg)
+    if tower == "db":
+        n = min(n_images, ds.database_num)
+        idx = rng.choice(ds.database_num, size=n, replace=False)
+        maps = collate_cache_db(ds, list(idx))  # [n, NMAP, H, W, 3]
+        images = np.asarray(maps).reshape(-1, *maps.shape[2:])
+        # the db GeoLocalizationNet lives under the GeoDB wrapper's 'net'
+        prefix = ("net",)
+    else:
+        n = min(n_images, ds.queries_num)
+        idx = rng.choice(ds.queries_num, size=n, replace=False)
+        images, _ = collate_cache_q(ds, list(idx), cfg)
+        prefix = ()
+
+    def sub(tree):
+        for k in prefix:
+            tree = tree[k]
+        return tree
 
     backbone = cfg.model.backbone
-    bvars = {"params": variables["params"]["backbone"]}
+    bvars = {"params": sub(variables["params"])["backbone"]}
     if "batch_stats" in variables:
-        bvars["batch_stats"] = variables["batch_stats"].get("backbone", {})
+        bvars["batch_stats"] = sub(variables["batch_stats"]).get(
+            "backbone", {})
     if backbone in _RESNET_BACKBONES:
         from agplace_tpu.models.resnet import ResNetFeatures
 
@@ -107,7 +124,8 @@ def initialize_netvlad_from_dataset(cfg, variables: Dict, ds, seed: int = 0,
             f"dataset netvlad init for backbone={backbone}")
 
     agg = cfg.model.aggregation  # 'netvlad' | 'crn' (same param keys)
+    path = "/".join(prefix + ("aggregation", agg))
     return initialize_netvlad(
         variables, apply_fn, np.asarray(images),
         clusters_num=cfg.model.netvlad_clusters,
-        netvlad_path=f"aggregation/{agg}", seed=seed)
+        netvlad_path=path, seed=seed)

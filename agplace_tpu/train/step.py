@@ -81,6 +81,16 @@ def init_state(cfg: Config, rng: jax.Array, sample_batch,
             cfg, mm_vars, train_ds, seed=cfg.train.seed)
     db_vars = ({"params": {}} if db is None
                else db.init(k2, sample_batch["db_map"]))
+    if (db is not None and cfg.model.db.modeldb == "geoloc"
+            and cfg.model.aggregation in ("netvlad", "crn")
+            and train_ds is not None):
+        # the reference inits the DB model's netvlad (train.py:156-161)
+        from agplace_tpu.train.netvlad_init import (
+            initialize_netvlad_from_dataset,
+        )
+
+        db_vars = initialize_netvlad_from_dataset(
+            cfg, db_vars, train_ds, seed=cfg.train.seed, tower="db")
     params = {"mm": mm_vars["params"], "db": db_vars["params"]}
     batch_stats = {
         "mm": mm_vars.get("batch_stats", {}),

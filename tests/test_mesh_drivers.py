@@ -161,3 +161,37 @@ def test_netvlad_init_wired_into_init_state(tmp_path):
     # assign conv consistent with the k-means centroids (w = 2*alpha*c)
     w = np.asarray(s_init.params["mm"]["aggregation"]["netvlad"]["assign_w"])
     np.testing.assert_allclose(w, 2 * 100.0 * c1.T, rtol=1e-5)
+
+
+def test_netvlad_init_db_tower(tmp_path):
+    """modeldb='geoloc' + netvlad: the DB tower's clusters are initialised
+    from aerial tiles (the reference inits the db model, train.py:156-161)."""
+    from agplace_tpu.data.base import collate_train
+    from agplace_tpu.train.mining import TripletMiner
+    from agplace_tpu.train.step import init_state
+
+    cfg, train_ds, _ = _cfg_ds(
+        tmp_path, MeshConfig(data_parallel=1, gallery_parallel=1))
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model, modelq="geoloc", aggregation="netvlad",
+            netvlad_clusters=4, pretrained=False,
+            db=dataclasses.replace(cfg.model.db, modeldb="geoloc")))
+    rng = np.random.default_rng(0)
+    miner = TripletMiner(cfg, train_ds)
+    batch = collate_train(train_ds, miner.mine_random(rng, 4), cfg, rng)
+
+    s0 = init_state(cfg, jax.random.PRNGKey(0), batch)
+    s1 = init_state(cfg, jax.random.PRNGKey(0), batch, train_ds=train_ds)
+    c0 = np.asarray(
+        s0.params["db"]["net"]["aggregation"]["netvlad"]["centroids"])
+    c1 = np.asarray(
+        s1.params["db"]["net"]["aggregation"]["netvlad"]["centroids"])
+    assert not np.allclose(c0, c1)
+    # both towers initialised, independently
+    q1 = np.asarray(
+        s1.params["mm"]["aggregation"]["netvlad"]["centroids"])
+    assert not np.allclose(
+        q1, np.asarray(s0.params["mm"]["aggregation"]["netvlad"]
+                       ["centroids"]))
