@@ -473,7 +473,8 @@ _FLAG_TABLE = [
     ("mm_voxfe_dim", "model.mm.voxfe_dim", "int"),
     ("mm_voxfe_block", "model.mm.voxfe_block", "str",
      ["eca", "basic", "aspp", "convnext"]),
-    ("voxfe_backend", "model.mm.voxfe_backend", "str"),
+    ("voxfe_backend", "model.mm.voxfe_backend", "str",
+     ["bev", "dense", "sparse"]),
     ("vox_grid_extent", "model.mm.vox_grid_extent", "ints"),
     ("stg2fuse_dim", "model.mm.stg2fuse_dim", "int"),
     ("output_type", "model.mm.output_type", "strs"),
@@ -659,3 +660,6 @@ def _validate(cfg: Config) -> None:
     if "shallow" in cfg.model.mm.output_type \
             and "addorg" in cfg.model.mm.output_type:
         raise ValueError("output_type: 'shallow' and 'addorg' are exclusive")
+    if cfg.model.mm.voxfe_backend not in ("bev", "dense", "sparse"):
+        raise ValueError(
+            f"unknown voxfe_backend {cfg.model.mm.voxfe_backend!r}")
