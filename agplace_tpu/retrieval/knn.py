@@ -51,10 +51,19 @@ def pairwise_l2(queries: jax.Array, database: jax.Array) -> jax.Array:
 @functools.partial(jax.jit, static_argnames=("k",))
 def l2_topk(queries: jax.Array, database: jax.Array, k: int):
     """Exact k-NN under L2.  Returns (sq_distances [Q,k], indices [Q,k]),
-    matching ``faiss.IndexFlatL2.search`` (which also returns squared L2).
+    matching ``faiss.IndexFlatL2.search`` (which also returns squared L2) —
+    including its k > ntotal behaviour: missing slots padded with distance
+    +inf and index -1.
     """
     d2 = pairwise_sq_l2(queries, database)
-    neg, idx = jax.lax.top_k(-d2, k)
+    kk = min(k, database.shape[0])
+    neg, idx = jax.lax.top_k(-d2, kk)
+    if kk < k:
+        q_n = d2.shape[0]
+        neg = jnp.concatenate(
+            [neg, jnp.full((q_n, k - kk), -jnp.inf, neg.dtype)], axis=1)
+        idx = jnp.concatenate(
+            [idx, jnp.full((q_n, k - kk), -1, idx.dtype)], axis=1)
     return -neg, idx
 
 

@@ -46,10 +46,15 @@ def sharded_l2_topk(mesh: Mesh, queries, database_sharded, k: int,
     n_shards = mesh.shape[axis]
     shard_rows = database_sharded.shape[0] // n_shards
     # a shard smaller than k contributes all its rows; the merge below still
-    # sees >= k candidates as long as the full gallery has >= k rows
+    # sees >= k candidates as long as the full gallery has >= k rows.  For
+    # k > total rows, faiss pads with +inf/-1 — the single-device l2_topk
+    # implements that; route there (shard_gallery's sentinel padding rows
+    # would otherwise enter the result set).
+    if k > database_sharded.shape[0]:
+        from agplace_tpu.retrieval.knn import l2_topk
+
+        return l2_topk(queries, database_sharded, k)
     k_local = min(k, shard_rows)
-    assert k <= n_shards * k_local, (
-        f"top-k k={k} exceeds gallery rows {database_sharded.shape[0]}")
 
     @functools.partial(
         jax.shard_map,

@@ -24,8 +24,8 @@ BASELINE_DESC_PER_SEC = 1000.0
 BATCH = 32
 IMAGE_SIZE = 256
 VOX_CAP = 8192
-WARMUP = 3
-ITERS = 20
+WARMUP = 5
+ITERS = 40
 
 
 def main() -> None:

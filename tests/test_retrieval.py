@@ -88,3 +88,19 @@ def test_kmeans_separates_clusters():
     assert len(set(assign[:100])) == 1
     assert len(set(assign[100:])) == 1
     assert assign[0] != assign[150]
+
+
+def test_l2_topk_k_exceeds_gallery():
+    """faiss.IndexFlatL2.search semantics for k > ntotal: pad with +inf
+    distance and -1 index (regression: this crashed evaluate() on tiny
+    galleries, e.g. the 1-device dryrun world)."""
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((5, 8)), jnp.float32)
+    db = jnp.asarray(rng.standard_normal((3, 8)), jnp.float32)
+    d, i = l2_topk(q, db, 20)
+    assert d.shape == (5, 20) and i.shape == (5, 20)
+    assert (np.asarray(i)[:, 3:] == -1).all()
+    assert np.isinf(np.asarray(d)[:, 3:]).all()
+    # the real 3 results are still exact
+    d_ref, i_ref = l2_topk(q, db, 3)
+    np.testing.assert_array_equal(np.asarray(i)[:, :3], np.asarray(i_ref))
