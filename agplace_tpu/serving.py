@@ -1,0 +1,149 @@
+"""Serving: a deployable place-recognition index.
+
+The reference stops at per-epoch evaluation; production use needs a
+long-lived object that loads a trained checkpoint once, keeps the aerial
+gallery's descriptors resident on device, and answers query->top-k requests
+at the measured ~5k embeds/s + ~86k searches/s per chip (BASELINE.md).
+
+    idx = PlaceIndex.from_checkpoint(cfg, "logs/run", "best_model")
+    idx.add_tiles(test_ds)                      # embed + index the gallery
+    hits = idx.search(images, points, k=5)      # -> (distances, indices)
+
+Fixed-shape batching (requests padded to ``infer_batch_size``) keeps one
+compiled executable per entry point; galleries larger than one chip shard
+over the ``gallery`` mesh axis.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from agplace_tpu.config import Config
+from agplace_tpu.sparse.voxels import batched_from_pointclouds
+
+
+class PlaceIndex:
+    """Two-tower serving index: embeds queries with the trained MM tower and
+    searches a device-resident gallery of aerial-tile descriptors."""
+
+    def __init__(self, cfg: Config, params, batch_stats, gallery_mesh=None):
+        from agplace_tpu.train.step import make_infer_fns
+
+        self.cfg = cfg
+        self.params = params
+        self.batch_stats = batch_stats
+        self.gallery_mesh = gallery_mesh
+        self._embed_q, self._embed_db = make_infer_fns(cfg)
+        self._gallery: Optional[jax.Array] = None  # [N, C] device-resident
+        self._n_rows = 0
+
+    # -- construction -------------------------------------------------------
+    @classmethod
+    def from_checkpoint(cls, cfg: Config, save_dir: str, name: str,
+                        sample_batch=None, gallery_mesh=None) -> "PlaceIndex":
+        """Restore a trained state (``ep@N__r1@R`` / ``best_model``) and
+        build an index.  ``sample_batch``: any collated train batch for the
+        restore template; built from a synthetic world when omitted."""
+        from agplace_tpu.train.checkpoint import CheckpointManager
+        from agplace_tpu.train.step import init_state
+
+        if sample_batch is None:
+            from agplace_tpu.data.base import collate_train
+            from agplace_tpu.data.synthetic import SyntheticDataset
+            from agplace_tpu.train.mining import TripletMiner
+
+            ds = SyntheticDataset(
+                n_db=8, n_q=4, image_size=cfg.data.q_resize,
+                n_points=64, nmap=cfg.data.nmap, seed=0)
+            rng = np.random.default_rng(0)
+            rows = TripletMiner(cfg, ds).mine_random(
+                rng, cfg.train.train_batch_size)
+            sample_batch = collate_train(ds, rows, cfg, rng)
+        template = init_state(cfg, jax.random.PRNGKey(0), sample_batch)
+        state, _ = CheckpointManager(save_dir).restore(name, template)
+        return cls(cfg, state.params, state.batch_stats,
+                   gallery_mesh=gallery_mesh)
+
+    # -- gallery ------------------------------------------------------------
+    def add_tiles(self, ds, indices: Optional[Sequence[int]] = None) -> int:
+        """Embed database tiles from a ``PlaceDataset`` and append them to
+        the gallery.  Returns the new gallery size."""
+        from agplace_tpu.embed import batched_embed_db
+
+        idx = list(indices if indices is not None
+                   else range(ds.database_num))
+        feats = batched_embed_db(ds, idx, self._embed_db, self.params,
+                                 self.batch_stats,
+                                 self.cfg.train.infer_batch_size)
+        return self.add_descriptors(feats)
+
+    def add_descriptors(self, feats: np.ndarray) -> int:
+        feats = jnp.asarray(np.asarray(feats, np.float32))
+        self._gallery = (feats if self._gallery is None
+                         else jnp.concatenate([self._gallery, feats]))
+        self._n_rows = int(self._gallery.shape[0])
+        return self._n_rows
+
+    def __len__(self) -> int:
+        return self._n_rows
+
+    # -- queries ------------------------------------------------------------
+    def embed(self, images: np.ndarray,
+              points: Optional[np.ndarray] = None) -> np.ndarray:
+        """[B, H, W, 3] images (+ optional [B, P, 3] NaN-padded clouds) ->
+        [B, C] descriptors.  Requests are padded to the compiled batch."""
+        bs = self.cfg.train.infer_batch_size
+        images = np.asarray(images, np.float32)
+        n = images.shape[0]
+        if points is None:
+            points = np.full((n, 1, 3), np.nan, np.float32)
+        outs = []
+        for s in range(0, n, bs):
+            im = images[s : s + bs]
+            pt = points[s : s + bs]
+            keep = im.shape[0]
+            if keep < bs:
+                im = np.concatenate(
+                    [im, np.repeat(im[-1:], bs - keep, 0)])
+                pt = np.concatenate(
+                    [pt, np.repeat(pt[-1:], bs - keep, 0)])
+            vox = batched_from_pointclouds(pt, self.cfg.data.quant_size,
+                                           self.cfg.data.vox_max_points)
+            emb = self._embed_q(self.params, self.batch_stats,
+                                jnp.asarray(im), vox)
+            outs.append(np.asarray(emb)[:keep])
+        return np.concatenate(outs)
+
+    def search(self, images: np.ndarray,
+               points: Optional[np.ndarray] = None,
+               k: int = 5) -> Tuple[np.ndarray, np.ndarray]:
+        """End-to-end: embed queries and return (sq_distances [B,k],
+        gallery indices [B,k]); faiss semantics incl. -1 padding when the
+        gallery has fewer than k rows."""
+        assert self._gallery is not None, "empty index: add tiles first"
+        q = self.embed(images, points)
+        return self.search_descriptors(q, k)
+
+    def search_descriptors(self, q_feats: np.ndarray, k: int
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+        from agplace_tpu.retrieval.knn import l2_topk_blocked
+
+        if (self.gallery_mesh is not None
+                and self.gallery_mesh.shape.get("gallery", 1) > 1
+                and k <= self._n_rows):
+            from agplace_tpu.retrieval.sharded import (
+                shard_gallery,
+                sharded_l2_topk,
+            )
+
+            db = shard_gallery(self.gallery_mesh,
+                               np.asarray(self._gallery))
+            d, i = sharded_l2_topk(self.gallery_mesh,
+                                   jnp.asarray(np.asarray(q_feats)), db, k)
+            return np.asarray(d), np.asarray(i)
+        d, i = l2_topk_blocked(np.asarray(q_feats), self._gallery, k)
+        return np.asarray(d), np.asarray(i)

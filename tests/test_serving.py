@@ -1,0 +1,92 @@
+"""Serving index: checkpoint load -> gallery build -> query search, with
+ragged request batches and faiss-parity tiny-gallery padding."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import pytest
+
+from agplace_tpu.config import MeshConfig, synthetic_config
+from agplace_tpu.data.synthetic import SyntheticDataset
+from agplace_tpu.serving import PlaceIndex
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    """One short training run -> checkpoint on disk."""
+    from agplace_tpu.data.base import collate_train
+    from agplace_tpu.train.checkpoint import CheckpointManager
+    from agplace_tpu.train.mining import TripletMiner
+    from agplace_tpu.train.step import init_state, make_train_step
+
+    tmp = tmp_path_factory.mktemp("serve")
+    cfg = synthetic_config(batch_size=2, image_size=32, vox_max_points=64,
+                           negs=2)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, save_dir=str(tmp),
+                                       infer_batch_size=4))
+    ds = SyntheticDataset(n_db=12, n_q=8, image_size=32, n_points=64, seed=0)
+    rng = np.random.default_rng(0)
+    batch = collate_train(ds, TripletMiner(cfg, ds).mine_random(rng, 2),
+                          cfg, rng)
+    state = init_state(cfg, jax.random.PRNGKey(0), batch)
+    state, _ = make_train_step(cfg)(state, batch)
+    CheckpointManager(str(tmp)).save(state, 0, np.array([1.0, 2, 3, 4]),
+                                     best_r5=2.0, not_improved_num=0,
+                                     is_best=True)
+    return cfg, str(tmp), ds
+
+
+def test_index_from_checkpoint_end_to_end(trained):
+    cfg, save_dir, ds = trained
+    idx = PlaceIndex.from_checkpoint(cfg, save_dir, "best_model")
+    assert idx.add_tiles(ds) == ds.database_num
+
+    # ragged request (5 queries, batch 4): a query near tile 0 must retrieve
+    # its own tile first — the synthetic world shares content signatures
+    imgs = np.stack([ds.load_query_image(i) for i in range(5)])
+    pts = np.stack([ds.load_query_points(i) for i in range(5)])
+    d, i = idx.search(imgs, pts, k=3)
+    assert d.shape == (5, 3) and i.shape == (5, 3)
+    assert np.isfinite(d).all()
+    # distances sorted ascending per row
+    assert (np.diff(d, axis=1) >= -1e-6).all()
+
+    # embedding equals the eval-path extractor
+    from agplace_tpu.embed import batched_embed_q
+
+    want = batched_embed_q(ds, list(range(5)), idx._embed_q, idx.params,
+                           idx.batch_stats, 4, cfg)
+    got = idx.embed(imgs, pts)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_index_small_gallery_faiss_padding(trained):
+    cfg, save_dir, ds = trained
+    idx = PlaceIndex.from_checkpoint(cfg, save_dir, "best_model")
+    idx.add_descriptors(np.random.default_rng(0).standard_normal(
+        (2, cfg.model.features_dim)).astype(np.float32))
+    imgs = np.stack([ds.load_query_image(i) for i in range(2)])
+    d, i = idx.search(imgs, None, k=5)
+    assert (i[:, 2:] == -1).all()
+    assert np.isinf(d[:, 2:]).all()
+
+
+def test_index_sharded_gallery(trained):
+    from agplace_tpu.parallel.mesh import make_mesh
+
+    cfg, save_dir, ds = trained
+    gmesh = make_mesh(MeshConfig(data_parallel=1, gallery_parallel=2),
+                      devices=jax.devices()[:2])
+    idx1 = PlaceIndex.from_checkpoint(cfg, save_dir, "best_model")
+    idx2 = PlaceIndex.from_checkpoint(cfg, save_dir, "best_model",
+                                      gallery_mesh=gmesh)
+    idx1.add_tiles(ds)
+    idx2.add_tiles(ds)
+    q = np.random.default_rng(1).standard_normal(
+        (3, cfg.model.features_dim)).astype(np.float32)
+    d1, i1 = idx1.search_descriptors(q, k=4)
+    d2, i2 = idx2.search_descriptors(q, k=4)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-4, atol=1e-4)
