@@ -70,9 +70,18 @@ def l2_topk(queries: jax.Array, database: jax.Array, k: int):
 @functools.partial(jax.jit, static_argnames=("k",))
 def ip_topk(queries: jax.Array, database: jax.Array, k: int):
     """Exact max-inner-product search (faiss IndexFlatIP equivalent, used by
-    the anyloc recall utility ``anyloc/utilities.py:446-456``)."""
+    the anyloc recall utility ``anyloc/utilities.py:446-456``); k > ntotal
+    padded with -inf similarity and -1 index like faiss."""
     sims = jnp.dot(queries, database.T, preferred_element_type=jnp.float32)
-    return jax.lax.top_k(sims, k)
+    kk = min(k, database.shape[0])
+    s, idx = jax.lax.top_k(sims, kk)
+    if kk < k:
+        q_n = sims.shape[0]
+        s = jnp.concatenate(
+            [s, jnp.full((q_n, k - kk), -jnp.inf, s.dtype)], axis=1)
+        idx = jnp.concatenate(
+            [idx, jnp.full((q_n, k - kk), -1, idx.dtype)], axis=1)
+    return s, idx
 
 
 def l2_topk_blocked(

@@ -51,6 +51,10 @@ class MinkFPN(nn.Module):
     def __call__(self, sv: SparseVoxels):
         assert len(self.layers) == len(self.planes)
         assert 0 <= self.num_top_down <= len(self.layers)
+        if self.block not in _BLOCKS:
+            raise NotImplementedError(
+                f"sparse backend blocks: {sorted(_BLOCKS)} (aspp/convnext "
+                f"exist on the bev/dense backends); got {self.block!r}")
         block_cls = _BLOCKS[self.block]
         n_stages = len(self.planes)
 
