@@ -1,0 +1,60 @@
+"""The reference-compatible CLI entry points, run as real subprocesses on
+the synthetic dataset (no data needed): ``python train.py`` end-to-end with
+results files, and the standalone ``python test.py`` (which works here,
+unlike the reference's broken ``__main__`` — SURVEY.md §7.5)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, cwd):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO
+    return subprocess.run(
+        [sys.executable, *args], cwd=cwd, env=env,
+        capture_output=True, text=True, timeout=900)
+
+
+@pytest.mark.slow
+def test_train_entry_end_to_end(tmp_path):
+    save = tmp_path / "run"
+    p = _run([
+        os.path.join(REPO, "train.py"),
+        "--dataset", "synthetic", "--epochs_num", "1",
+        "--queries_per_epoch", "8", "--cache_refresh_rate", "8",
+        "--train_batch_size", "4", "--infer_batch_size", "4",
+        "--negs_num_per_query", "2", "--neg_samples_num", "8",
+        "--save_dir", str(save), "--num_workers", "2",
+        "--pretrained", "false",
+    ], cwd=str(tmp_path))
+    assert p.returncode == 0, p.stderr[-2000:]
+    # results-file system (tools/options.py:385-419 parity)
+    results_dir = save / "results"
+    files = list(results_dir.glob("*.txt"))
+    assert files, p.stderr[-2000:]
+    body = files[0].read_text()
+    assert "epoch 0" in body and "R@1" in body
+    assert "Best:" in (save / "results.txt").read_text()
+    # metrics jsonl written
+    assert (save / "metrics.jsonl").exists()
+
+
+@pytest.mark.slow
+def test_test_entry_standalone(tmp_path):
+    p = _run([
+        os.path.join(REPO, "test.py"),
+        "--dataset", "synthetic",
+        "--train_batch_size", "2", "--infer_batch_size", "4",
+        "--negs_num_per_query", "2",
+        "--save_dir", str(tmp_path / "eval"),
+        "--pretrained", "false",
+    ], cwd=str(tmp_path))
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert "R@1" in p.stdout, p.stdout[-500:]
