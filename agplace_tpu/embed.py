@@ -68,7 +68,8 @@ def batched_embed_q(ds: PlaceDataset, indices: Sequence[int], embed_q,
 
 
 def batched_embed_q_crops(ds, indices: Sequence[int], embed_q, params,
-                          batch_stats, bs: int, cfg: Config) -> np.ndarray:
+                          batch_stats, bs: int, cfg: Config,
+                          mesh=None) -> np.ndarray:
     """Five-crops variant: returns [5*len(indices), dim], crop-major per
     query (``test.py:159-172`` layout)."""
     from agplace_tpu.sparse.voxels import batched_from_pointclouds
@@ -85,8 +86,8 @@ def batched_embed_q_crops(ds, indices: Sequence[int], embed_q, params,
         vox = batched_from_pointclouds(np.repeat(pts, 5, axis=0),
                                        cfg.data.quant_size,
                                        cfg.data.vox_max_points)
-        flat = crops.reshape(-1, *crops.shape[2:])
-        out = embed_q(params, batch_stats, flat, vox)  # [bs*5, dim]
+        flat = _put(crops.reshape(-1, *crops.shape[2:]), mesh)
+        out = embed_q(params, batch_stats, flat, _put(vox, mesh))  # [bs*5, dim]
         parts.append(out.reshape(bs, 5, -1))
         keeps.append(keep)
     if not parts:

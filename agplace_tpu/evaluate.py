@@ -69,7 +69,7 @@ def extract_features(
         # 5 descriptors per query, crop-major rows (test.py:159-172)
         q_feats = batched_embed_q_crops(ds, list(range(ds.queries_num)),
                                         embed_queries, params, batch_stats,
-                                        bs, cfg)
+                                        bs, cfg, mesh=mesh)
     else:
         q_feats = batched_embed_q(ds, list(range(ds.queries_num)),
                                   embed_queries, params, batch_stats, bs,

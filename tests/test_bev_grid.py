@@ -223,3 +223,39 @@ def test_general_minkfpn_alias():
     ob, _ = gen_b.apply(v, fold(g))
     np.testing.assert_allclose(np.asarray(unfold(ob).feats),
                                np.asarray(out.feats), rtol=2e-3, atol=2e-3)
+
+
+def test_bev_gradients_match_dense_backend():
+    """Training-path guard: parameter gradients through the BEV FPN equal
+    the dense backend's under shared params (float32)."""
+    g = _grid(seed=13, extent=(16, 16, 4))
+    kw = dict(out_channels=16, planes=(8, 16, 16), layers=(1, 1, 1),
+              num_top_down=0, conv0_kernel_size=5, block="eca", train=True)
+    dense = DenseMinkFPN(**kw)
+    bev = BEVMinkFPN(**kw)
+    v = dense.init(jax.random.PRNGKey(7), g)
+
+    def loss_d(p):
+        out, _ = dense.apply({"params": p,
+                              "batch_stats": v["batch_stats"]}, g,
+                             mutable=["batch_stats"])
+        return jnp.sum(out[0].feats.astype(jnp.float32) ** 2)
+
+    def loss_b(p):
+        out, _ = bev.apply({"params": p,
+                            "batch_stats": v["batch_stats"]}, fold(g),
+                           mutable=["batch_stats"])
+        return jnp.sum(out[0].feats.astype(jnp.float32) ** 2)
+
+    gd = jax.grad(loss_d)(v["params"])
+    gb = jax.grad(loss_b)(v["params"])
+    leaves_d = jax.tree_util.tree_leaves_with_path(gd)
+    leaves_b = {str(p): l for p, l in
+                jax.tree_util.tree_leaves_with_path(gb)}
+    assert len(leaves_d) == len(leaves_b)
+    for path, a in leaves_d:
+        b = leaves_b[str(path)]
+        scale = max(float(np.abs(np.asarray(a)).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3 * scale,
+                                   err_msg=str(path))
