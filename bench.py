@@ -40,11 +40,17 @@ def main() -> None:
     rng = np.random.default_rng(0)
     images = jnp.asarray(
         rng.standard_normal((BATCH, IMAGE_SIZE, IMAGE_SIZE, 3)), jnp.float32)
-    # LiDAR-realistic extents: wide in x/y, flat in z
+    # LiDAR-realistic clouds: spinning-scanner geometry (uniform azimuth,
+    # HDL-64 elevation FOV, log-uniform range to 100 m -> radially
+    # concentrated returns, ground-plane truncation at sensor height 1.73 m)
+    n_pts = 30000
+    az = rng.uniform(0, 2 * np.pi, (BATCH, n_pts))
+    elev = np.deg2rad(rng.uniform(-24.9, 2.0, (BATCH, n_pts)))
+    r = np.exp(rng.uniform(np.log(2.0), np.log(100.0), (BATCH, n_pts)))
     pts = np.stack([
-        rng.uniform(-100, 100, size=(BATCH, 30000)),
-        rng.uniform(-100, 100, size=(BATCH, 30000)),
-        rng.uniform(-3, 1, size=(BATCH, 30000)),
+        r * np.cos(elev) * np.cos(az),
+        r * np.cos(elev) * np.sin(az),
+        np.maximum(r * np.sin(elev), -1.73),
     ], axis=-1).astype(np.float32)
     vox = batched_from_pointclouds(pts, cfg.data.quant_size, VOX_CAP)
 
