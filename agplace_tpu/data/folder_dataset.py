@@ -78,7 +78,24 @@ class FolderDataset(PlaceDataset):
         return normalize(img, self.mean, self.std)
 
     def load_query_image(self, idx: int) -> np.ndarray:
-        return self._load(self.q_paths[idx], self.cfg.data.q_resize)
+        """Query transform per ``eval.test_method`` (``datasets_ws.py:
+        444-462``): hard_resize = square resize; central_crop = biggest
+        ratio-preserving central crop of q_resize; single_query = original
+        resolution (ragged; evaluated at batch 1)."""
+        method = self.cfg.eval.test_method
+        path = self.q_paths[idx]
+        if method == "single_query":
+            return normalize(load_image_rgb(path), self.mean, self.std)
+        if method == "central_crop":
+            size = self.cfg.data.q_resize
+            img = load_image_rgb(path)
+            h, w = img.shape[:2]
+            scale = max(size / h, size / w)
+            img = resize(img, (max(size, round(h * scale)),
+                               max(size, round(w * scale))))
+            img = center_crop(img, size)
+            return normalize(img, self.mean, self.std)
+        return self._load(path, self.cfg.data.q_resize)
 
     def load_query_crops(self, idx: int, crop: int) -> np.ndarray:
         """[5, crop, crop, 3] five-crops for the crop-based test methods

@@ -70,6 +70,21 @@ def extract_features(
         q_feats = batched_embed_q_crops(ds, list(range(ds.queries_num)),
                                         embed_queries, params, batch_stats,
                                         bs, cfg, mesh=mesh)
+    elif cfg.eval.test_method == "single_query":
+        # ragged original-resolution queries: batch 1, like the reference's
+        # queries_infer_batch_size=1 (test.py:141); one compile per unique
+        # image shape
+        from agplace_tpu.sparse.voxels import batched_from_pointclouds
+
+        feats = []
+        for i in range(ds.queries_num):
+            img = ds.load_query_image(i)[None]
+            vox = batched_from_pointclouds(
+                ds.load_query_points(i)[None], cfg.data.quant_size,
+                cfg.data.vox_max_points)
+            feats.append(np.asarray(
+                embed_queries(params, batch_stats, jnp.asarray(img), vox)))
+        q_feats = np.concatenate(feats)
     else:
         q_feats = batched_embed_q(ds, list(range(ds.queries_num)),
                                   embed_queries, params, batch_stats, bs,

@@ -115,3 +115,62 @@ def test_checkpoint_explicit_filename_precedence(tmp_path):
     p4 = ckpt.save(state, epoch_num=3, recalls=np.array([9.0, 1, 1, 1]),
                    best_r5=0.0, not_improved_num=0, is_best=False)
     assert os.path.basename(p4) == "ep@3__r1@9"
+
+
+def test_folder_test_methods_single_query_central_crop(tmp_path):
+    """datasets_ws.py:444-462 parity: central_crop = ratio-preserving
+    biggest central crop; single_query = original resolution at batch 1
+    through the full evaluate() path."""
+    import dataclasses
+
+    from PIL import Image
+
+    from agplace_tpu.data.folder_dataset import FolderDataset
+
+    rng = np.random.default_rng(3)
+    base = tmp_path / "mini" / "images" / "test"
+    for sub in ("database", "queries"):
+        os.makedirs(base / sub)
+    e0, n0 = 500000.0, 4000000.0
+    for i in range(4):
+        Image.fromarray(rng.integers(0, 255, (48, 48, 3), dtype=np.uint8)
+                        ).save(base / "database" / f"@{e0 + 30*i}@{n0}@.jpg")
+    # rectangular queries (40x80) so the crop paths differ from hard_resize
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (40, 80, 3), dtype=np.uint8)
+                        ).save(base / "queries" / f"@{e0 + 30*i + 3}@{n0}@.jpg")
+
+    cfg = synthetic_config(image_size=32)
+    root = str(tmp_path / "mini")
+
+    cfg_cc = dataclasses.replace(
+        cfg, eval=dataclasses.replace(cfg.eval, test_method="central_crop"))
+    ds = FolderDataset(cfg_cc, root, "test")
+    img = ds.load_query_image(0)
+    assert img.shape == (32, 32, 3)  # ratio-preserving central crop
+
+    cfg_sq = dataclasses.replace(
+        cfg, eval=dataclasses.replace(cfg.eval, test_method="single_query"))
+    ds_sq = FolderDataset(cfg_sq, root, "test")
+    img = ds_sq.load_query_image(0)
+    assert img.shape == (40, 80, 3)  # original resolution
+
+    # full evaluate() at batch 1 with ragged queries
+    import jax
+
+    from agplace_tpu.evaluate import evaluate
+    from agplace_tpu.models.factory import make_db_model, make_query_model
+    from agplace_tpu.train.step import init_state, make_infer_fns
+    from agplace_tpu.data.base import collate_train
+    from agplace_tpu.data.synthetic import SyntheticDataset
+    from agplace_tpu.train.mining import TripletMiner
+
+    sds = SyntheticDataset(n_db=4, n_q=2, image_size=32, n_points=64, seed=0)
+    rng2 = np.random.default_rng(0)
+    batch = collate_train(sds, TripletMiner(cfg_sq, sds).mine_random(rng2, 2),
+                          cfg_sq, rng2)
+    state = init_state(cfg_sq, jax.random.PRNGKey(0), batch)
+    embed_q, embed_db = make_infer_fns(cfg_sq)
+    recalls, _ = evaluate(cfg_sq, ds_sq, state.params, state.batch_stats,
+                          embed_q, embed_db)
+    assert recalls.shape == (4,) and np.isfinite(recalls).all()
