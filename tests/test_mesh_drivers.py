@@ -80,6 +80,7 @@ def test_evaluate_uses_sharded_retrieval(tmp_path):
     np.testing.assert_array_equal(r_single, r_sharded)
 
 
+@pytest.mark.slow
 def test_mine_full_matches_bruteforce(tmp_path):
     """Whole-gallery hardest-negative mining (reference
     ``datasets_ws_kitti360.py:1022-1097`` semantics): negatives are the
@@ -163,6 +164,7 @@ def test_netvlad_init_wired_into_init_state(tmp_path):
     np.testing.assert_allclose(w, 2 * 100.0 * c1.T, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_netvlad_init_db_tower(tmp_path):
     """modeldb='geoloc' + netvlad: the DB tower's clusters are initialised
     from aerial tiles (the reference inits the db model, train.py:156-161)."""

@@ -40,6 +40,7 @@ def _cfg_batch(pretrained_path=None):
     return cfg, batch
 
 
+@pytest.mark.slow
 def test_init_state_loads_weights_from_mounted_dir(tmp_path):
     import torch
 

@@ -7,6 +7,8 @@ import numpy as np
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from agplace_tpu.config import MeshConfig, synthetic_config
 from agplace_tpu.data.synthetic import SyntheticDataset
 from agplace_tpu.serving import PlaceIndex
