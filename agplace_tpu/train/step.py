@@ -153,6 +153,8 @@ def apply_pretrained_backbones(cfg: Config, params, batch_stats):
         if cfg.model.backbone in _RESNET_BACKBONES:
             arch, stages, _ = _RESNET_BACKBONES[cfg.model.backbone]
             graft("mm", ("backbone",), arch, stages)
+    if cfg.model.share_qdb:
+        return params, batch_stats  # no db tower
     if cfg.model.db.modeldb == "vanilla2d":
         fe = cfg.model.db.image_fe
         if fe in ("resnet18", "resnet34", "resnet50"):
@@ -160,6 +162,12 @@ def apply_pretrained_backbones(cfg: Config, params, batch_stats):
             for i in range(n_branches):
                 graft("db", (f"fe_{i}", "fe"), fe,
                       len(cfg.model.db.image_fe_layers))
+    elif cfg.model.db.modeldb == "geoloc":
+        from agplace_tpu.models.geoloc import _RESNET_BACKBONES
+
+        if cfg.model.backbone in _RESNET_BACKBONES:
+            arch, stages, _ = _RESNET_BACKBONES[cfg.model.backbone]
+            graft("db", ("net", "backbone"), arch, stages)
     return params, batch_stats
 
 

@@ -127,3 +127,36 @@ def test_real_pretrained_forward_parity():
     out, _ = mod.apply({"params": params, "batch_stats": stats},
                        jax.numpy.asarray(x))
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_pretrained_reaches_geoloc_db_tower(tmp_path):
+    """modeldb='geoloc': converted weights graft under the GeoDB wrapper's
+    net/backbone (and share_qdb skips the absent db tower cleanly)."""
+    import torch
+
+    from agplace_tpu.train.step import init_state
+
+    net = _build_torch_resnet("resnet18", 3)
+    torch.save(net.state_dict(), tmp_path / "resnet18-rand.pth")
+
+    cfg, batch = _cfg_batch(pretrained_path=str(tmp_path))
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(
+            cfg.model, modelq="geoloc", backbone="resnet18conv4",
+            db=dataclasses.replace(cfg.model.db, modeldb="geoloc")))
+    state = init_state(cfg, jax.random.PRNGKey(0), batch)
+    from agplace_tpu.utils.torch_convert import _conv
+
+    want = _conv(net.state_dict()["conv1.weight"].numpy())
+    got_q = np.asarray(state.params["mm"]["backbone"]["conv1"]["kernel"])
+    got_db = np.asarray(
+        state.params["db"]["net"]["backbone"]["conv1"]["kernel"])
+    np.testing.assert_array_equal(got_q, want)
+    np.testing.assert_array_equal(got_db, want)
+
+    # share_qdb: db tower absent, init still succeeds with pretrained on
+    cfg2 = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, share_qdb=True))
+    state2 = init_state(cfg2, jax.random.PRNGKey(0), batch)
+    assert state2.params["db"] == {}
