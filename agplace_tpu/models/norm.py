@@ -1,4 +1,8 @@
-"""Dtype-preserving BatchNorm for dense image branches.
+"""Dtype-preserving BatchNorm for dense image branches (the reference uses
+torch ``nn.BatchNorm2d`` inside its torchvision backbones; under >=2 GPUs it
+swaps in the vendored SyncBN, ``/root/reference/train.py:253-256`` — here
+cross-replica stats are free under GSPMD, with ``axis_name`` pmean for
+shard_map).
 
 flax's ``nn.BatchNorm`` with ``dtype=float32`` promotes the whole activation
 buffer to fp32 (and back) around every conv — measured as the dominant cost

@@ -1,5 +1,7 @@
 """Mesh-sharded exact retrieval for galleries beyond one chip's HBM
-(BASELINE.json config 5: 100k+ aerial tiles).
+(BASELINE.json config 5: 100k+ aerial tiles).  Replaces the reference's
+single-process faiss ``IndexFlatL2`` (``/root/reference/test.py:27-32``)
+for galleries that outgrow one device.
 
 Design: the gallery lives sharded over the ``gallery`` mesh axis; each shard
 computes its local [Q, k] top-k via matmul, then the per-shard candidates are

@@ -1,5 +1,7 @@
 """Train state: both towers' params + batch stats + optimizer state in one
-pytree, so the whole training step is a single donated-buffer jit."""
+pytree, so the whole training step is a single donated-buffer jit (the
+reference keeps two separate torch models + two Adam optimizers,
+``/root/reference/train.py:120-214``)."""
 
 from __future__ import annotations
 
