@@ -108,6 +108,15 @@ def evaluate(
     gallery-sharded."""
     q_feats, db_feats = extract_features(cfg, ds, params, batch_stats,
                                          embed_queries, embed_db, mesh=mesh)
+    if pca is None and cfg.eval.pca_dim:
+        # --pca_dim with no prefit PCA: fit on the database descriptors
+        # (up to 2^14 sampled rows, util.py:65-78 semantics) then reduce
+        # both sides — the reference's fit path is dead as shipped
+        # (util.py:70 imports a commented-out dataset), so this implements
+        # the intended behaviour of ``test.py:104-107``'s pca.transform.
+        from agplace_tpu.utils.pca import compute_pca
+
+        pca = compute_pca(db_feats, cfg.eval.pca_dim, seed=cfg.train.seed)
     if pca is not None:
         q_feats = pca.transform(q_feats).astype(np.float32)
         db_feats = pca.transform(db_feats).astype(np.float32)

@@ -56,11 +56,15 @@ class MM(nn.Module):
                  vox: Optional[SparseVoxels] = None) -> Dict[str, jax.Array]:
         cfg = self.config
 
-        # modality-drop ablation (mm.py:71-74)
+        # modality-drop ablation (mm.py:71-74).  The reference zeroes the ME
+        # coordinates, which ME re-quantises into a SINGLE origin voxel per
+        # cloud; mirror that by masking all but one point so the branch sees
+        # one valid zero-coordinate voxel, not N duplicates.
         if cfg.drop == "image":
             query_image = query_image * 0
         elif cfg.drop == "pc" and vox is not None:
-            vox = vox.replace(coords=vox.coords * 0)
+            keep_one = jnp.zeros_like(vox.mask).at[:, 0].set(True)
+            vox = vox.replace(coords=vox.coords * 0, mask=keep_one)
 
         out_components = []
         outputs: Dict[str, jax.Array] = {}

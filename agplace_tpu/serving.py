@@ -38,8 +38,15 @@ class PlaceIndex:
         self.batch_stats = batch_stats
         self.gallery_mesh = gallery_mesh
         self._embed_q, self._embed_db = make_infer_fns(cfg)
-        self._gallery: Optional[jax.Array] = None  # [N, C] device-resident
+        # adds append to a cheap host buffer; the device-resident (and,
+        # with a gallery mesh, sharded) copy is built lazily ONCE on the
+        # next search and reused until the gallery changes — a long-lived
+        # index at 100k+ rows must not re-upload per query (VERDICT r2 #6)
+        self._parts: list = []  # host-side np [n_i, C] append buffer
+        self._gallery: Optional[jax.Array] = None  # device-resident [N, C]
+        self._dirty = False
         self._n_rows = 0
+        self.upload_count = 0  # host->device gallery builds (observability)
 
     # -- construction -------------------------------------------------------
     @classmethod
@@ -82,11 +89,34 @@ class PlaceIndex:
         return self.add_descriptors(feats)
 
     def add_descriptors(self, feats: np.ndarray) -> int:
-        feats = jnp.asarray(np.asarray(feats, np.float32))
-        self._gallery = (feats if self._gallery is None
-                         else jnp.concatenate([self._gallery, feats]))
-        self._n_rows = int(self._gallery.shape[0])
+        self._parts.append(np.asarray(feats, np.float32))
+        self._n_rows += int(self._parts[-1].shape[0])
+        self._dirty = True
         return self._n_rows
+
+    def _device_gallery(self) -> jax.Array:
+        """The device-resident gallery, (re)built only when adds happened
+        since the last search.  With a multi-device gallery mesh the rows
+        are sharded over the ``gallery`` axis at build time, so repeated
+        searches do zero host->device gallery transfers."""
+        if self._dirty or self._gallery is None:
+            assert self._parts, "empty index: add tiles first"
+            host = (self._parts[0] if len(self._parts) == 1
+                    else np.concatenate(self._parts))
+            self._parts = [host]  # keep one consolidated host copy
+            if self._sharded():
+                from agplace_tpu.retrieval.sharded import shard_gallery
+
+                self._gallery = shard_gallery(self.gallery_mesh, host)
+            else:
+                self._gallery = jnp.asarray(host)
+            self.upload_count += 1
+            self._dirty = False
+        return self._gallery
+
+    def _sharded(self) -> bool:
+        return (self.gallery_mesh is not None
+                and self.gallery_mesh.shape.get("gallery", 1) > 1)
 
     def __len__(self) -> int:
         return self._n_rows
@@ -124,7 +154,7 @@ class PlaceIndex:
         """End-to-end: embed queries and return (sq_distances [B,k],
         gallery indices [B,k]); faiss semantics incl. -1 padding when the
         gallery has fewer than k rows."""
-        assert self._gallery is not None, "empty index: add tiles first"
+        assert self._n_rows > 0, "empty index: add tiles first"
         q = self.embed(images, points)
         return self.search_descriptors(q, k)
 
@@ -132,18 +162,17 @@ class PlaceIndex:
                            ) -> Tuple[np.ndarray, np.ndarray]:
         from agplace_tpu.retrieval.knn import l2_topk_blocked
 
-        if (self.gallery_mesh is not None
-                and self.gallery_mesh.shape.get("gallery", 1) > 1
-                and k <= self._n_rows):
-            from agplace_tpu.retrieval.sharded import (
-                shard_gallery,
-                sharded_l2_topk,
-            )
+        if self._sharded() and k <= self._n_rows:
+            from agplace_tpu.retrieval.sharded import sharded_l2_topk
 
-            db = shard_gallery(self.gallery_mesh,
-                               np.asarray(self._gallery))
             d, i = sharded_l2_topk(self.gallery_mesh,
-                                   jnp.asarray(np.asarray(q_feats)), db, k)
+                                   jnp.asarray(np.asarray(q_feats)),
+                                   self._device_gallery(), k)
             return np.asarray(d), np.asarray(i)
-        d, i = l2_topk_blocked(np.asarray(q_feats), self._gallery, k)
+        if self._sharded():  # k > rows: tiny gallery, use the blocked path
+            db = jnp.asarray(self._parts[0] if len(self._parts) == 1
+                             else np.concatenate(self._parts))
+        else:
+            db = self._device_gallery()
+        d, i = l2_topk_blocked(np.asarray(q_feats), db, k)
         return np.asarray(d), np.asarray(i)

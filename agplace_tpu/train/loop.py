@@ -119,7 +119,12 @@ def train(
                             f"{cfg.train.save_dir}/profile")
                         profiling = True
                     state, m = train_step(state, batch)
-                    epoch_losses.append(float(m["loss"]))
+                    # keep the loss ON DEVICE: a float() here would block
+                    # the host inside the prefetch window (a ~25 ms
+                    # round-trip per step over remote links), defeating the
+                    # double-buffering.  Scalars are drained once per
+                    # mining round below.
+                    epoch_losses.append(m["loss"])
                     steps_done += 1
                     if profiling and steps_done >= cfg.train.profile_steps:
                         jax.profiler.stop_trace()
@@ -128,6 +133,8 @@ def train(
                                  cfg.train.save_dir)
                     if max_steps is not None and steps_done >= max_steps:
                         break
+            # one host sync per mining round, outside the hot loop
+            epoch_losses = [float(x) for x in epoch_losses]
             if max_steps is not None and steps_done >= max_steps:
                 break
 

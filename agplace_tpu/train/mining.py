@@ -69,21 +69,58 @@ class TripletMiner:
             if len(ds.hard_positives_per_query[i]) > 0
         ])
 
-    def mine_random(self, rng: np.random.Generator, n_queries: int):
-        """compute_triplets_random semantics (kitti360:995-1020): random
-        positive among hard positives, random negatives outside soft
-        positives."""
-        qs = rng.choice(self.valid_queries, size=n_queries, replace=True)
+    def mine_random(self, rng: np.random.Generator, n_queries: int,
+                    params=None, batch_stats=None, embed_q=None,
+                    embed_db=None, mesh=None):
+        """compute_triplets_random semantics (kitti360:995-1020): the
+        *best* positive among the query's hard positives (chosen by
+        embedding queries + positives through the towers, kitti360:
+        1004-1012), and negatives sampled WITHOUT replacement then
+        soft-positive-filtered (kitti360:1015-1017).  When no params are
+        available (warm-up batch before the state exists) the positive
+        falls back to a uniform random hard positive."""
+        ds = self.ds
+        qs = rng.choice(self.valid_queries, size=n_queries,
+                        replace=n_queries > len(self.valid_queries))
+
+        use_model = params is not None and embed_q is not None
+        if use_model:
+            all_pos = np.unique(np.concatenate(
+                [ds.hard_positives_per_query[q] for q in qs]))
+            slot_of = {int(g): i for i, g in enumerate(all_pos)}
+            db_feats = batched_embed_db(
+                ds, all_pos, embed_db, params, batch_stats,
+                self.cfg.train.infer_batch_size, mesh=mesh)
+            q_feats = batched_embed_q(
+                ds, qs, embed_q, params, batch_stats,
+                self.cfg.train.infer_batch_size, self.cfg, mesh=mesh)
+            pos_sets = [
+                np.array([slot_of[int(g)]
+                          for g in ds.hard_positives_per_query[q]])
+                for q in qs
+            ]
+            pos_idx, _ = pad_positives(pos_sets)  # [nq, P_max], -1 pad
+            d2 = np.sum((q_feats[:, None, :]
+                         - db_feats[np.maximum(pos_idx, 0)]) ** 2, axis=-1)
+            d2 = np.where(pos_idx >= 0, d2, np.inf)
+            best_slot = np.argmin(d2, axis=1)
+            best_pos = all_pos[pos_idx[np.arange(len(qs)), best_slot]]
+
         rows = []
-        for q in qs:
-            pos = rng.choice(self.ds.hard_positives_per_query[q])
-            soft = set(self.ds.soft_positives_per_query[q].tolist())
-            negs = []
-            while len(negs) < self.nneg:
-                cand = int(rng.integers(0, self.ds.database_num))
-                if cand not in soft:
-                    negs.append(cand)
-            rows.append([q, pos] + negs)
+        for r, q in enumerate(qs):
+            if use_model:
+                pos = int(best_pos[r])
+            else:
+                pos = int(rng.choice(ds.hard_positives_per_query[q]))
+            soft = ds.soft_positives_per_query[q]
+            n_draw = min(ds.database_num, self.nneg + len(soft))
+            cand = rng.choice(ds.database_num, size=n_draw, replace=False)
+            negs = np.setdiff1d(cand, soft, assume_unique=True)[: self.nneg]
+            if len(negs) < self.nneg:  # tiny gallery: repeat the last
+                filler = negs[-1] if len(negs) else pos
+                negs = np.concatenate(
+                    [negs, np.full(self.nneg - len(negs), filler, negs.dtype)])
+            rows.append([q, pos] + [int(n) for n in negs])
         return np.asarray(rows, np.int64)
 
     def mine_partial_sep(
@@ -210,16 +247,20 @@ class TripletMiner:
              gallery_mesh=None) -> np.ndarray:
         mining = self.cfg.train.mining
         if mining == "random" or params is None:
-            return self.mine_random(rng, n_queries)
+            return self.mine_random(rng, n_queries, params=params,
+                                    batch_stats=batch_stats, embed_q=embed_q,
+                                    embed_db=embed_db, mesh=mesh)
         if mining == "full":
             return self.mine_full(rng, n_queries, params, batch_stats,
                                   embed_q, embed_db, mesh=mesh,
                                   gallery_mesh=gallery_mesh)
-        if mining in ("partial_sep", "partial"):
+        if mining in ("partial_sep", "partial", "msls_weighted"):
             # `partial` differs from partial_sep only in sharing one tower
             # for queries and database (compute_cache vs compute_cache_sep in
             # the reference); with two distinct towers the selection math is
-            # identical, so both route here.
+            # identical, so both route here.  The reference also routes
+            # `msls_weighted` to compute_triplets_partial
+            # (datasets_ws_kitti360.py:895).
             return self.mine_partial_sep(rng, n_queries, params, batch_stats,
                                          embed_q, embed_db, mesh=mesh)
         raise NotImplementedError(mining)

@@ -15,6 +15,11 @@ import numpy as np
 from agplace_tpu.config import parse_arguments
 from agplace_tpu.data.base import collate_train
 from agplace_tpu.evaluate import evaluate
+from agplace_tpu.parallel.mesh import (
+    replicate_tree,
+    resolve_data_mesh,
+    resolve_gallery_mesh,
+)
 from agplace_tpu.train.checkpoint import CheckpointManager
 from agplace_tpu.train.mining import TripletMiner
 from agplace_tpu.train.step import init_state, make_infer_fns
@@ -43,9 +48,21 @@ def main() -> None:
         log.info("restored %s (epoch %d)", cfg.train.resume,
                  meta["epoch_num"])
 
+    # same mesh resolution as the train driver (train/loop.py): embed
+    # passes shard over the data axis, retrieval over the gallery axis
+    mesh = resolve_data_mesh(
+        cfg.mesh, (cfg.train.train_batch_size, cfg.train.infer_batch_size))
+    gallery_mesh = resolve_gallery_mesh(cfg.mesh)
+    if mesh is not None:
+        state = replicate_tree(mesh, state)
+        log.info("data mesh: %s", dict(mesh.shape))
+    if gallery_mesh is not None:
+        log.info("gallery mesh: %s", dict(gallery_mesh.shape))
+
     embed_q, embed_db = make_infer_fns(cfg)
     recalls, recalls_str = evaluate(cfg, test_ds, state.params,
-                                    state.batch_stats, embed_q, embed_db)
+                                    state.batch_stats, embed_q, embed_db,
+                                    mesh=mesh, gallery_mesh=gallery_mesh)
     log.info("Recalls on %s: %s", cfg.data.dataset, recalls_str)
     print(recalls_str)
 

@@ -79,6 +79,18 @@ def test_modality_drop_changes_embedding():
         assert not np.allclose(e_full, e_drop), drop
         assert np.isfinite(e_drop).all()
 
+    # drop='pc' must equal a cloud that is literally ONE origin voxel —
+    # the ME re-quantisation semantics of zeroed coordinates
+    # (reference mm.py:73-74: ME.SparseTensor collapses N duplicate
+    # zero coords into a single origin voxel)
+    m_pc = MM(config=dataclasses.replace(cfg.model.mm, drop="pc"),
+              train=False)
+    e_drop_pc = np.asarray(m_pc.apply(v, imgs, vox)["embedding"])
+    origin = batched_from_pointclouds(
+        np.zeros((2, 1, 3), np.float32), 2.0, 128)
+    e_origin = np.asarray(base.apply(v, imgs, origin)["embedding"])
+    np.testing.assert_allclose(e_drop_pc, e_origin, rtol=1e-5, atol=1e-6)
+
 
 @pytest.mark.slow
 def test_resume_roundtrip_continues_training(tmp_path):

@@ -1,0 +1,131 @@
+"""Mining-mode matrix (VERDICT r2 item 4): every reference mining mode
+(``datasets_ws_kitti360.py:892-903`` dispatch) produces valid triplets, and
+``random`` follows the reference's exact semantics — model-chosen BEST
+positive (kitti360:1004-1012) and without-replacement soft-filtered
+negatives (kitti360:1015-1017).
+
+Also the end-to-end PCA eval path (VERDICT r2 item 5): ``--pca_dim`` makes
+``evaluate`` fit a PCA on database descriptors and reduce both sides — the
+intended behaviour of the reference's dead fit path (``util.py:65-78``)
+feeding ``test.py:104-107``.  Shares the module's compiled world fixture."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from agplace_tpu.config import synthetic_config
+from agplace_tpu.data.base import collate_train
+from agplace_tpu.data.synthetic import SyntheticDataset
+from agplace_tpu.embed import batched_embed_db, batched_embed_q
+from agplace_tpu.train.mining import TripletMiner
+from agplace_tpu.train.step import init_state, make_infer_fns
+
+
+@pytest.fixture(scope="module")
+def world():
+    cfg = synthetic_config(batch_size=4, image_size=32, vox_max_points=64,
+                           negs=2)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, infer_batch_size=4))
+    ds = SyntheticDataset(n_db=24, n_q=12, image_size=32, n_points=64, seed=3)
+    rng = np.random.default_rng(0)
+    miner = TripletMiner(cfg, ds)
+    batch = collate_train(ds, miner.mine_random(rng, 4), cfg, rng)
+    state = init_state(cfg, jax.random.PRNGKey(0), batch)
+    embed_q, embed_db = make_infer_fns(cfg)
+    return cfg, ds, state, embed_q, embed_db
+
+
+def _check_rows(rows, ds, nneg):
+    assert rows.shape[1] == 2 + nneg
+    for q, pos, *negs in rows:
+        assert pos in ds.hard_positives_per_query[q]
+        soft = set(ds.soft_positives_per_query[q].tolist())
+        assert not (set(int(n) for n in negs) & soft)
+
+
+@pytest.mark.parametrize(
+    "mode", ["random", "partial", "partial_sep", "msls_weighted", "full"])
+def test_mining_mode_matrix(world, mode):
+    cfg, ds, state, embed_q, embed_db = world
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, mining=mode))
+    miner = TripletMiner(cfg, ds)
+    rows = miner.mine(np.random.default_rng(1), 6, params=state.params,
+                      batch_stats=state.batch_stats, embed_q=embed_q,
+                      embed_db=embed_db)
+    _check_rows(rows, ds, cfg.train.negs_num_per_query)
+
+
+def test_mine_random_picks_best_positive(world):
+    """With params available, ``random`` mining must return the CLOSEST hard
+    positive per query, exactly as compute_triplets_random does via its
+    faiss best-positive search (kitti360:1004-1012)."""
+    cfg, ds, state, embed_q, embed_db = world
+    miner = TripletMiner(cfg, ds)
+    rows = miner.mine_random(np.random.default_rng(5), 8, params=state.params,
+                             batch_stats=state.batch_stats, embed_q=embed_q,
+                             embed_db=embed_db)
+    db = batched_embed_db(ds, list(range(ds.database_num)), embed_db,
+                          state.params, state.batch_stats, 4)
+    for q, pos, *_ in rows:
+        qf = batched_embed_q(ds, [q] * 4, embed_q, state.params,
+                             state.batch_stats, 4, cfg)[0]
+        d = ((db - qf) ** 2).sum(-1)
+        hard = ds.hard_positives_per_query[q]
+        assert d[pos] == pytest.approx(d[hard].min(), rel=1e-5)
+
+
+def test_mine_random_negatives_without_replacement(world):
+    """Reference negatives come from np.random.choice(replace=False) then a
+    soft-positive setdiff (kitti360:1015-1017): no duplicate negatives within
+    a triplet (the r2 miner's rejection loop could emit duplicates)."""
+    cfg, ds, state, *_ = world
+    miner = TripletMiner(cfg, ds)
+    rng = np.random.default_rng(11)
+    rows = miner.mine_random(rng, 10)  # warm-up path (no params)
+    for _, _, *negs in rows:
+        assert len(set(int(n) for n in negs)) == len(negs)
+    _check_rows(rows, ds, cfg.train.negs_num_per_query)
+
+
+def test_evaluate_with_pca_dim(world):
+    """Full-rank PCA is a rigid rotation (+centering) of descriptor space,
+    so recalls must be identical to no-PCA; a lower pca_dim must run and
+    return valid recalls."""
+    cfg, ds, state, embed_q, embed_db = world
+    from agplace_tpu.evaluate import evaluate
+
+    base, _ = evaluate(cfg, ds, state.params, state.batch_stats,
+                       embed_q, embed_db)
+
+    full_dim = 256  # descriptor dim (cfg.model.mm defaults)
+    cfg_full = dataclasses.replace(
+        cfg, eval=dataclasses.replace(cfg.eval, pca_dim=full_dim))
+    r_full, _ = evaluate(cfg_full, ds, state.params, state.batch_stats,
+                         embed_q, embed_db)
+    np.testing.assert_array_equal(base, r_full)
+
+    cfg_low = dataclasses.replace(
+        cfg, eval=dataclasses.replace(cfg.eval, pca_dim=8))
+    r_low, _ = evaluate(cfg_low, ds, state.params, state.batch_stats,
+                        embed_q, embed_db)
+    assert r_low.shape == base.shape and np.isfinite(r_low).all()
+
+
+def test_evaluate_prefit_pca_still_respected(world):
+    """An explicitly passed PCA object wins over cfg.eval.pca_dim."""
+    cfg, ds, state, embed_q, embed_db = world
+    from agplace_tpu.evaluate import evaluate, extract_features
+    from agplace_tpu.utils.pca import PCA
+
+    q, db = extract_features(cfg, ds, state.params, state.batch_stats,
+                             embed_q, embed_db)
+    pca = PCA(16).fit(db)
+    cfg_p = dataclasses.replace(
+        cfg, eval=dataclasses.replace(cfg.eval, pca_dim=64))
+    r, _ = evaluate(cfg_p, ds, state.params, state.batch_stats,
+                    embed_q, embed_db, pca=pca)
+    assert np.isfinite(r).all()

@@ -92,3 +92,35 @@ def test_index_sharded_gallery(trained):
     d2, i2 = idx2.search_descriptors(q, k=4)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(d1, d2, rtol=1e-4, atol=1e-4)
+
+
+def test_index_gallery_stays_device_resident(trained):
+    """Repeated searches must not re-upload the gallery (VERDICT r2 #6):
+    exactly one host->device build per gallery mutation, in both the
+    single-device and the sharded configuration."""
+    from agplace_tpu.parallel.mesh import make_mesh
+
+    cfg, save_dir, ds = trained
+    gmesh = make_mesh(MeshConfig(data_parallel=1, gallery_parallel=2),
+                      devices=jax.devices()[:2])
+    for mesh in (None, gmesh):
+        idx = PlaceIndex.from_checkpoint(cfg, save_dir, "best_model",
+                                         gallery_mesh=mesh)
+        idx.add_tiles(ds)
+        q = np.random.default_rng(2).standard_normal(
+            (3, cfg.model.features_dim)).astype(np.float32)
+        d1, i1 = idx.search_descriptors(q, k=4)
+        gal_ref = idx._gallery
+        for _ in range(3):
+            d2, i2 = idx.search_descriptors(q, k=4)
+            np.testing.assert_array_equal(i1, i2)
+        assert idx.upload_count == 1
+        assert idx._gallery is gal_ref  # same device buffer, not rebuilt
+
+        # a mutation triggers exactly one rebuild on the NEXT search
+        idx.add_descriptors(np.random.default_rng(3).standard_normal(
+            (2, cfg.model.features_dim)).astype(np.float32))
+        assert idx.upload_count == 1  # lazy: no upload at add time
+        idx.search_descriptors(q, k=4)
+        assert idx.upload_count == 2
+        assert len(idx) == ds.database_num + 2
