@@ -31,7 +31,7 @@ class MLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.output_dim, name="fc1")(x)
-        x = nn.LayerNorm(name="ln")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln")(x)  # torch LN default eps
         x = nn.relu(x)
         return nn.Dense(self.output_dim, name="fc2")(x)
 

@@ -182,9 +182,9 @@ class Basic(nn.Module):
     def __call__(self, x):
         identity = x
         out = nn.Dense(self.dim, name="fc1")(x)
-        out = nn.relu(nn.LayerNorm(name="ln1")(out))
+        out = nn.relu(nn.LayerNorm(epsilon=1e-5, name="ln1")(out))
         out = nn.Dense(self.dim, name="fc2")(out)
-        out = nn.LayerNorm(name="ln2")(out)
+        out = nn.LayerNorm(epsilon=1e-5, name="ln2")(out)  # torch LN eps
         return nn.relu(out + identity)
 
 

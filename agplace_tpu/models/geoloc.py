@@ -22,8 +22,10 @@ def _l2(x):
 
 
 class VGG16Features(nn.Module):
-    """VGG16 conv trunk truncated at conv5 (as DVGLB uses it: features[:-5],
-    ``model/network.py:153-159``)."""
+    """VGG16 conv trunk exactly as DVGLB truncates it:
+    ``features.children()[:-2]`` (``model/network.py:144``) — 13 convs with
+    four interior maxpools, ending at conv5_3 with NO trailing ReLU and no
+    final pool."""
 
     train: bool = False
 
@@ -31,20 +33,24 @@ class VGG16Features(nn.Module):
     def __call__(self, x):
         cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
                512, 512, 512, "M", 512, 512, 512]
+        n_convs = sum(1 for v in cfg if v != "M")
         i = 0
         for v in cfg:
             if v == "M":
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             else:
-                x = nn.relu(nn.Conv(v, (3, 3), padding=1,
-                                    name=f"conv{i}")(x))
+                x = nn.Conv(v, (3, 3), padding=1, name=f"conv{i}")(x)
+                if i < n_convs - 1:  # [:-2] drops the final ReLU
+                    x = nn.relu(x)
                 i += 1
         return x
 
 
 class AlexNetFeatures(nn.Module):
-    """AlexNet conv trunk (DVGLB truncates past conv3,
-    ``model/network.py:161-166``)."""
+    """AlexNet conv trunk exactly as DVGLB truncates it:
+    ``features.children()[:-2]`` (``model/network.py:149-152``) — all five
+    convs, ending at conv4 (256 ch) with NO trailing ReLU and no final
+    maxpool."""
 
     train: bool = False
 
@@ -56,7 +62,8 @@ class AlexNetFeatures(nn.Module):
         x = nn.relu(nn.Conv(192, (5, 5), padding=2, name="conv1")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
         x = nn.relu(nn.Conv(384, (3, 3), padding=1, name="conv2")(x))
-        return x
+        x = nn.relu(nn.Conv(256, (3, 3), padding=1, name="conv3")(x))
+        return nn.Conv(256, (3, 3), padding=1, name="conv4")(x)
 
 
 class ViTBackbone(nn.Module):
@@ -68,6 +75,7 @@ class ViTBackbone(nn.Module):
     heads: int = 12
     patch: int = 16
     trunc_te: Optional[int] = None  # truncate encoder at layer N
+    ln_eps: float = 1e-12  # HF ViT layer_norm_eps (vit-base-patch16-*)
     train: bool = False
 
     @nn.compact
@@ -84,15 +92,15 @@ class ViTBackbone(nn.Module):
         x = x + pos
         n_layers = self.trunc_te or self.layers
         for i in range(n_layers):
-            y = nn.LayerNorm(name=f"ln1_{i}")(x)
+            y = nn.LayerNorm(epsilon=self.ln_eps, name=f"ln1_{i}")(x)
             y = nn.MultiHeadDotProductAttention(
                 num_heads=self.heads, name=f"attn_{i}")(y, y)
             x = x + y
-            y = nn.LayerNorm(name=f"ln2_{i}")(x)
+            y = nn.LayerNorm(epsilon=self.ln_eps, name=f"ln2_{i}")(x)
             y = nn.Dense(self.hidden * 4, name=f"mlp1_{i}")(y)
             y = nn.Dense(self.hidden, name=f"mlp2_{i}")(nn.gelu(y))
             x = x + y
-        return nn.LayerNorm(name="ln_f")(x)
+        return nn.LayerNorm(epsilon=self.ln_eps, name="ln_f")(x)
 
 
 _RESNET_BACKBONES = {
@@ -111,7 +119,7 @@ def backbone_output_dim(backbone: str) -> int:
     if backbone == "vgg16":
         return 512
     if backbone == "alexnet":
-        return 384
+        return 256  # features[:-2] ends at conv4 (network.py:149-152)
     if backbone in ("vit", "cct384"):
         return 768 if backbone == "vit" else 384
     raise NotImplementedError(backbone)
@@ -145,7 +153,7 @@ class GeoLocalizationNet(nn.Module):
             dim = 512
         elif self.backbone == "alexnet":
             feat = AlexNetFeatures(train=self.train, name="backbone")(x)
-            dim = 384
+            dim = 256
         elif self.backbone == "vit":
             tokens = ViTBackbone(trunc_te=self.trunc_te, train=self.train,
                                  name="backbone")(x)

@@ -44,19 +44,34 @@ class ConvNeXtTinyFeatures(nn.Module):
         dims = (96, 192, 384, 768)
         maps = []
         # stem: 4x4 stride-4 conv + LN
-        x = nn.Conv(dims[0], (4, 4), strides=(4, 4), name="stem_conv")(x)
+        x = nn.Conv(dims[0], (4, 4), strides=(4, 4), padding="VALID",
+                    name="stem_conv")(x)
         x = nn.LayerNorm(name="stem_norm")(x)
         n_stages = min(len(self.layers), 4)
         for s in range(n_stages):
             if s > 0:
                 x = nn.LayerNorm(name=f"down_norm{s}")(x)
-                x = nn.Conv(dims[s], (2, 2), strides=(2, 2),
+                x = nn.Conv(dims[s], (2, 2), strides=(2, 2), padding="VALID",
                             name=f"down_conv{s}")(x)
             depth = min(self.layers[s], depths[s])
             for i in range(depth):
                 x = ConvNeXtBlock(dims[s], name=f"stage{s}_block{i}")(x)
             maps.append(x)
         return x, maps
+
+
+def _ceil_max_pool(x, window: int = 3, stride: int = 2):
+    """torch ``MaxPool2d(3, 2, ceil_mode=True)`` (torchvision squeezenet
+    trunks): pad bottom/right with -inf so partial windows count."""
+    h, w = x.shape[1], x.shape[2]
+    out_h = -(-(h - window) // stride) + 1
+    out_w = -(-(w - window) // stride) + 1
+    pad_h = max((out_h - 1) * stride + window - h, 0)
+    pad_w = max((out_w - 1) * stride + window - w, 0)
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+                    constant_values=-jnp.inf)
+    return nn.max_pool(x, (window, window), strides=(stride, stride))
 
 
 class FireModule(nn.Module):
@@ -83,33 +98,35 @@ class SqueezeNetFeatures(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # torchvision-exact geometry: stem conv has NO padding and the
+        # maxpools are ceil_mode=True (torchvision squeezenet1_0/1_1)
         maps = []
         if self.version == "1_0":
-            x = nn.relu(nn.Conv(96, (7, 7), strides=(2, 2),
+            x = nn.relu(nn.Conv(96, (7, 7), strides=(2, 2), padding="VALID",
                                 name="conv0")(x))
-            x = nn.max_pool(x, (3, 3), strides=(2, 2))
+            x = _ceil_max_pool(x)
             for i, (s, e) in enumerate([(16, 64), (16, 64), (32, 128)]):
                 x = FireModule(s, e, name=f"fire{i}")(x)
             maps.append(x)
-            x = nn.max_pool(x, (3, 3), strides=(2, 2))
+            x = _ceil_max_pool(x)
             for i, (s, e) in enumerate([(32, 128), (48, 192), (48, 192),
                                         (64, 256)]):
                 x = FireModule(s, e, name=f"fire{i + 3}")(x)
             maps.append(x)
-            x = nn.max_pool(x, (3, 3), strides=(2, 2))
+            x = _ceil_max_pool(x)
             x = FireModule(64, 256, name="fire7")(x)
         else:
-            x = nn.relu(nn.Conv(64, (3, 3), strides=(2, 2),
+            x = nn.relu(nn.Conv(64, (3, 3), strides=(2, 2), padding="VALID",
                                 name="conv0")(x))
-            x = nn.max_pool(x, (3, 3), strides=(2, 2))
+            x = _ceil_max_pool(x)
             x = FireModule(16, 64, name="fire0")(x)
             x = FireModule(16, 64, name="fire1")(x)
             maps.append(x)
-            x = nn.max_pool(x, (3, 3), strides=(2, 2))
+            x = _ceil_max_pool(x)
             x = FireModule(32, 128, name="fire2")(x)
             x = FireModule(32, 128, name="fire3")(x)
             maps.append(x)
-            x = nn.max_pool(x, (3, 3), strides=(2, 2))
+            x = _ceil_max_pool(x)
             for i, (s, e) in enumerate([(48, 192), (48, 192), (64, 256),
                                         (64, 256)]):
                 x = FireModule(s, e, name=f"fire{i + 4}")(x)

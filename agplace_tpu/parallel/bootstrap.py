@@ -103,10 +103,16 @@ def make_hybrid_mesh(
         # entirely within a host's slice
         per_host = n // jax.process_count()
         dcn_dp = max(dp // max(per_host // gp, 1), 1)
+        # multi-slice TPU pods group devices by slice_index; in a single
+        # slice (or CPU multi-process, where every device reports slice 0)
+        # the process is the DCN granule
+        slice_ids = {getattr(d, "slice_index", None) for d in devices}
+        multi_slice = None not in slice_ids and len(slice_ids) > 1
         dev_array = mesh_utils.create_hybrid_device_mesh(
             mesh_shape=(dp // dcn_dp, gp),
             dcn_mesh_shape=(dcn_dp, 1),
             devices=devices,
+            process_is_granule=not multi_slice,
         )
         return Mesh(dev_array, (data_axis, gallery_axis))
     dev_array = np.array(devices).reshape(dp, gp)

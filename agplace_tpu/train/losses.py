@@ -95,6 +95,20 @@ def compute_sare_loss(features: jax.Array, triplets_local: jax.Array,
 # ---------------------------------------------------------------------------
 
 
+def geo_pairwise_dist(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Euclidean distance between UTM eastnorth rows via DIRECT differences.
+
+    The expanded matmul form (``pairwise_l2``) is catastrophically imprecise
+    here: UTM northings are ~4e6 m, so fp32 squared norms (~1.6e13) carry an
+    absolute error of ~1e6, i.e. distance errors of ~1e3 m — larger than the
+    10/25 m supervision thresholds (compute_other_loss.py:21-26).  The
+    reference's ``torch.cdist`` subtracts first and is exact to ~mm; this
+    matches it.  Caught by the full-model torch oracle
+    (tests/test_torch_full_oracle.py)."""
+    d = a[:, None, :] - b[None, :, :]
+    return jnp.sqrt(jnp.sum(d * d, axis=-1))
+
+
 def compute_bcemat(dist: jax.Array, positive_thd: float,
                    negative_thd: float) -> jax.Array:
     """0 for closer than positive_thd, 1 for farther than negative_thd,
@@ -154,8 +168,8 @@ def compute_other_loss(
     d_gi_ag = pairwise_l2(g_image, ag_image)
     d_gv_ag = pairwise_l2(g_vox, ag_vox)
 
-    e_aa = pairwise_l2(en_a, en_a)
-    e_g_ag = pairwise_l2(en_g, en_ag)
+    e_aa = geo_pairwise_dist(en_a, en_a)
+    e_g_ag = geo_pairwise_dist(en_g, en_ag)
 
     kind = cfg.otherloss_type
     loss = (

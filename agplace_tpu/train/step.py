@@ -104,70 +104,101 @@ def init_state(cfg: Config, rng: jax.Array, sample_batch,
 
 
 def apply_pretrained_backbones(cfg: Config, params, batch_stats):
-    """Graft pretrained ResNet weights into every image backbone: the MM
-    image branch, each DBVanilla2D map-type branch, and the geoloc backbone
-    — the reference trains all of them from torchvision-pretrained nets
-    (``network_mm/image_fe.py:19,33``, ``network/image_fe.py`` via
-    ``dbvanilla2d.py:38``).  No-op with a logged warning per backbone when
-    no weight source exists (zero-egress host without a mounted dir)."""
+    """Graft pretrained weights into every image backbone: the MM image
+    branch (resnet18/34, convnext_tiny, squeezenet — the reference builds
+    all of them ``pretrained=True``, ``network_mm/image_fe.py:14-56``),
+    each DBVanilla2D map-type branch (``network/image_fe.py`` via
+    ``dbvanilla2d.py:38``), and the geoloc backbone family (resnet / vgg16 /
+    alexnet / HF ViT, ``model/network.py:113-191``).  No-op with a logged
+    warning per backbone when no weight source exists (zero-egress host
+    without a mounted dir; see ``scripts/fetch_weights.py``)."""
     import logging
 
-    from agplace_tpu.utils.torch_convert import load_pretrained_resnet
+    from agplace_tpu.utils.torch_convert import load_pretrained_backbone
 
     log = logging.getLogger("pretrained")
     loaded: dict = {}
 
-    def get(arch: str, num_stages: int):
-        key = (arch, num_stages)
+    def get(arch: str, **kw):
+        key = (arch, tuple(sorted(kw.items())))
         if key not in loaded:
-            loaded[key] = load_pretrained_resnet(
-                arch, num_stages, cfg.model.pretrained_path)
+            loaded[key] = load_pretrained_backbone(
+                arch, cfg.model.pretrained_path, **kw)
             if loaded[key] is None:
                 log.warning(
                     "no pretrained %s weights found (set AGPLACE_WEIGHTS or "
-                    "model.pretrained_path); %s backbones stay random-init",
-                    arch, arch)
+                    "model.pretrained_path; see scripts/fetch_weights.py); "
+                    "%s backbones stay random-init", arch, arch)
         return loaded[key]
 
-    def graft(tower: str, path, arch: str, num_stages: int):
-        got = get(arch, num_stages)
+    def graft(tower: str, path, arch: str, **kw):
+        got = get(arch, **kw)
         if got is None:
             return
         p, s = got
-        node_p, node_s = params[tower], batch_stats[tower]
+        node_p = params[tower]
         for k in path[:-1]:
-            node_p, node_s = node_p[k], node_s[k]
+            node_p = node_p[k]
         node_p[path[-1]] = jax.tree_util.tree_map(jnp.asarray, p)
-        node_s[path[-1]] = jax.tree_util.tree_map(jnp.asarray, s)
+        if s:  # BN-less backbones (vgg/convnext/vit/...) have no stats
+            node_s = batch_stats[tower]
+            for k in path[:-1]:
+                node_s = node_s.setdefault(k, {})
+            node_s[path[-1]] = jax.tree_util.tree_map(jnp.asarray, s)
         log.info("loaded pretrained %s into %s/%s", arch, tower,
                  "/".join(path))
 
-    if cfg.model.modelq == "mm":
-        fe = cfg.model.mm.imgfe
+    def graft_fe(tower: str, prefix, fe: str, layers):
+        """One ImageFE instance (``{prefix}/fe`` subtree)."""
         if fe in ("resnet18", "resnet34", "resnet50"):
-            graft("mm", ("image_fe", "fe"), fe,
-                  len(cfg.model.mm.imgfe_layers))
-    elif cfg.model.modelq == "geoloc":
+            graft(tower, prefix + ("fe",), fe, num_stages=len(layers))
+        elif fe == "convnext_tiny":
+            graft(tower, prefix + ("fe",), fe, layers=tuple(layers))
+        elif fe in ("squeezenet10", "squeezenet11"):
+            # the trunk only: the 1x1 512->256 head is fresh in the
+            # reference too (image_fe.py:45-49)
+            got = get(fe)
+            if got is None:
+                return
+            p, _ = got
+            node = params[tower]
+            for k in prefix + ("fe",):
+                node = node[k]
+            for k, v in p.items():  # leave the random-init "fc" in place
+                node[k] = jax.tree_util.tree_map(jnp.asarray, v)
+            log.info("loaded pretrained %s trunk into %s/%s/fe", fe,
+                     tower, "/".join(prefix))
+
+    def graft_geoloc(tower: str, prefix):
         from agplace_tpu.models.geoloc import _RESNET_BACKBONES
 
-        if cfg.model.backbone in _RESNET_BACKBONES:
-            arch, stages, _ = _RESNET_BACKBONES[cfg.model.backbone]
-            graft("mm", ("backbone",), arch, stages)
+        bb = cfg.model.backbone
+        if bb in _RESNET_BACKBONES:
+            arch, stages, _ = _RESNET_BACKBONES[bb]
+            graft(tower, prefix + ("backbone",), arch, num_stages=stages)
+        elif bb in ("vgg16", "alexnet"):
+            graft(tower, prefix + ("backbone",), bb)
+        elif bb == "vit":
+            node = params[tower]
+            for k in prefix + ("backbone",):
+                node = node[k]
+            n_tokens = node["pos"].shape[1]  # resize PE to this geometry
+            graft(tower, prefix + ("backbone",), "vit", n_tokens=n_tokens)
+
+    if cfg.model.modelq == "mm":
+        graft_fe("mm", ("image_fe",), cfg.model.mm.imgfe,
+                 cfg.model.mm.imgfe_layers)
+    elif cfg.model.modelq == "geoloc":
+        graft_geoloc("mm", ())
     if cfg.model.share_qdb:
         return params, batch_stats  # no db tower
     if cfg.model.db.modeldb == "vanilla2d":
-        fe = cfg.model.db.image_fe
-        if fe in ("resnet18", "resnet34", "resnet50"):
-            n_branches = 1 if cfg.model.db.share_dbfe else cfg.data.nmap
-            for i in range(n_branches):
-                graft("db", (f"fe_{i}", "fe"), fe,
-                      len(cfg.model.db.image_fe_layers))
+        n_branches = 1 if cfg.model.db.share_dbfe else cfg.data.nmap
+        for i in range(n_branches):
+            graft_fe("db", (f"fe_{i}",), cfg.model.db.image_fe,
+                     cfg.model.db.image_fe_layers)
     elif cfg.model.db.modeldb == "geoloc":
-        from agplace_tpu.models.geoloc import _RESNET_BACKBONES
-
-        if cfg.model.backbone in _RESNET_BACKBONES:
-            arch, stages, _ = _RESNET_BACKBONES[cfg.model.backbone]
-            graft("db", ("net", "backbone"), arch, stages)
+        graft_geoloc("db", ("net",))
     return params, batch_stats
 
 
