@@ -87,8 +87,7 @@ def collate_train(
         for j in range(nneg):
             tri[i * nneg + j] = (i * group, i * group + 1, i * group + 2 + j)
 
-    vox = batched_from_pointclouds(pts, cfg.data.quant_size,
-                                   cfg.data.vox_max_points)
+    vox = prepare_query_vox(cfg, pts)
     return {
         "query_image": images,
         "vox": vox,
@@ -97,6 +96,26 @@ def collate_train(
         "db_eastnorth": db_en,
         "triplets_local": tri,
     }
+
+
+def prepare_query_vox(cfg: Config, pts: np.ndarray):
+    """Point clouds [B, P, 3] -> the query tower's voxel input, built on
+    HOST (the input-pipeline side of the device boundary, like the
+    reference's collate-time ME calls, ``kitti360:120-127``).
+
+    For the live MM + BEV-backend configuration this rasterizes straight
+    to the folded occupancy grid (``BEVGrid``), skipping the ~1.8 ms/batch
+    on-device scatter; every other configuration gets padded
+    ``SparseVoxels``."""
+    vox = batched_from_pointclouds(pts, cfg.data.quant_size,
+                                   cfg.data.vox_max_points)
+    m = cfg.model
+    if (m.modelq == "mm" and m.mm.voxfe_backend == "bev"
+            and "vox" in m.mm.output_type):
+        from agplace_tpu.sparse.bev_grid import rasterize_from_voxels_host
+
+        return rasterize_from_voxels_host(vox, m.mm.vox_grid_extent)
+    return vox
 
 
 def collate_cache_db(ds: PlaceDataset, indices: Sequence[int]) -> np.ndarray:
@@ -108,9 +127,7 @@ def collate_cache_q(ds: PlaceDataset, indices: Sequence[int], cfg: Config):
     """Query images + voxels (``kitti360_collate_fn_cache_q``)."""
     images = np.stack([ds.load_query_image(i) for i in indices])
     pts = np.stack([ds.load_query_points(i) for i in indices])
-    vox = batched_from_pointclouds(pts, cfg.data.quant_size,
-                                   cfg.data.vox_max_points)
-    return images, vox
+    return images, prepare_query_vox(cfg, pts)
 
 
 def pad_positives(positives: List[np.ndarray], pad_to: Optional[int] = None):

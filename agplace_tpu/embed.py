@@ -72,7 +72,7 @@ def batched_embed_q_crops(ds, indices: Sequence[int], embed_q, params,
                           mesh=None) -> np.ndarray:
     """Five-crops variant: returns [5*len(indices), dim], crop-major per
     query (``test.py:159-172`` layout)."""
-    from agplace_tpu.sparse.voxels import batched_from_pointclouds
+    from agplace_tpu.data.base import prepare_query_vox
 
     parts, keeps = [], []
     for s in range(0, len(indices), bs):
@@ -83,9 +83,7 @@ def batched_embed_q_crops(ds, indices: Sequence[int], embed_q, params,
         crops = np.stack([ds.load_query_crops(i, cfg.data.q_resize)
                           for i in chunk])  # [bs, 5, H, W, 3]
         pts = np.stack([ds.load_query_points(i) for i in chunk])
-        vox = batched_from_pointclouds(np.repeat(pts, 5, axis=0),
-                                       cfg.data.quant_size,
-                                       cfg.data.vox_max_points)
+        vox = prepare_query_vox(cfg, np.repeat(pts, 5, axis=0))
         flat = _put(crops.reshape(-1, *crops.shape[2:]), mesh)
         out = embed_q(params, batch_stats, flat, _put(vox, mesh))  # [bs*5, dim]
         parts.append(out.reshape(bs, 5, -1))

@@ -74,14 +74,12 @@ def extract_features(
         # ragged original-resolution queries: batch 1, like the reference's
         # queries_infer_batch_size=1 (test.py:141); one compile per unique
         # image shape
-        from agplace_tpu.sparse.voxels import batched_from_pointclouds
+        from agplace_tpu.data.base import prepare_query_vox
 
         feats = []
         for i in range(ds.queries_num):
             img = ds.load_query_image(i)[None]
-            vox = batched_from_pointclouds(
-                ds.load_query_points(i)[None], cfg.data.quant_size,
-                cfg.data.vox_max_points)
+            vox = prepare_query_vox(cfg, ds.load_query_points(i)[None])
             feats.append(np.asarray(
                 embed_queries(params, batch_stats, jnp.asarray(img), vox)))
         q_feats = np.concatenate(feats)

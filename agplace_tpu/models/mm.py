@@ -56,6 +56,10 @@ class MM(nn.Module):
                  vox: Optional[SparseVoxels] = None) -> Dict[str, jax.Array]:
         cfg = self.config
 
+        from agplace_tpu.sparse.bev_grid import BEVGrid
+
+        is_grid = isinstance(vox, BEVGrid)  # host-rasterized occupancy
+
         # modality-drop ablation (mm.py:71-74).  The reference zeroes the ME
         # coordinates, which ME re-quantises into a SINGLE origin voxel per
         # cloud; mirror that by masking all but one point so the branch sees
@@ -63,8 +67,15 @@ class MM(nn.Module):
         if cfg.drop == "image":
             query_image = query_image * 0
         elif cfg.drop == "pc" and vox is not None:
-            keep_one = jnp.zeros_like(vox.mask).at[:, 0].set(True)
-            vox = vox.replace(coords=vox.coords * 0, mask=keep_one)
+            if is_grid:
+                bb, gx, gy, gz = vox.mask.shape
+                m0 = jnp.zeros_like(vox.mask).at[
+                    :, gx // 2, gy // 2, gz // 2].set(True)
+                vox = BEVGrid(feats=m0.astype(vox.feats.dtype), mask=m0,
+                              z=vox.z, stride=vox.stride)
+            else:
+                keep_one = jnp.zeros_like(vox.mask).at[:, 0].set(True)
+                vox = vox.replace(coords=vox.coords * 0, mask=keep_one)
 
         out_components = []
         outputs: Dict[str, jax.Array] = {}
@@ -102,9 +113,15 @@ class MM(nn.Module):
                 )
 
                 # collate builds constant-1 voxel features (the reference's
-                # semantics): the feature scatter collapses to the mask
-                bev = bev_densify(vox, extent=cfg.vox_grid_extent,
-                                  dtype=self.dtype, ones_feats=True)
+                # semantics): the feature scatter collapses to the mask.
+                # When the input pipeline already rasterized the grid on
+                # host (the production path — the on-device scatter costs
+                # ~1.8 ms/batch), use it directly.
+                if is_grid:
+                    bev = vox.replace(feats=vox.feats.astype(self.dtype))
+                else:
+                    bev = bev_densify(vox, extent=cfg.vox_grid_extent,
+                                      dtype=self.dtype, ones_feats=True)
                 bev_out, voxmaplist = BEVMinkFPN(
                     out_channels=cfg.voxfe_planes[-1],
                     planes=cfg.voxfe_planes,
@@ -119,6 +136,9 @@ class MM(nn.Module):
                 voxfeatmap = unfold(bev_out)  # tiny at the deepest scale
                 voxfeatvec = BEVMinkGeM(name="vox_pool")(bev_out)
             elif cfg.voxfe_backend == "dense":
+                assert not is_grid, (
+                    "host-rasterized BEVGrid input requires "
+                    "voxfe_backend='bev'")
                 grid = densify(vox, extent=cfg.vox_grid_extent)
                 # keep the big grid activations in compute dtype end-to-end
                 # (fp32<->bf16 round-trips of the [B,X,Y,Z,C] buffers cost
@@ -137,6 +157,9 @@ class MM(nn.Module):
                 )(grid)
                 voxfeatvec = GridMinkGeM(name="vox_pool")(voxfeatmap)
             else:
+                assert not is_grid, (
+                    "host-rasterized BEVGrid input requires "
+                    "voxfe_backend='bev'")
                 voxfeatmap, vox_keys, voxmaplist = MinkFPN(
                     out_channels=cfg.voxfe_planes[-1],
                     planes=cfg.voxfe_planes,

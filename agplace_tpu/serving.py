@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from agplace_tpu.config import Config
-from agplace_tpu.sparse.voxels import batched_from_pointclouds
+from agplace_tpu.data.base import prepare_query_vox
 
 
 class PlaceIndex:
@@ -141,8 +141,7 @@ class PlaceIndex:
                     [im, np.repeat(im[-1:], bs - keep, 0)])
                 pt = np.concatenate(
                     [pt, np.repeat(pt[-1:], bs - keep, 0)])
-            vox = batched_from_pointclouds(pt, self.cfg.data.quant_size,
-                                           self.cfg.data.vox_max_points)
+            vox = prepare_query_vox(self.cfg, pt)
             emb = self._embed_q(self.params, self.batch_stats,
                                 jnp.asarray(im), vox)
             outs.append(np.asarray(emb)[:keep])

@@ -49,6 +49,8 @@ def densify(sv: SparseVoxels,
             ones_feats: bool = False) -> DenseVoxelGrid:
     """SparseVoxels -> dense grid (one scatter).  Coordinates outside the
     extent are clamped to the boundary cell (mirrors quantize()'s clamp).
+    Valid rows must be deduplicated voxels (the ``quantize()`` contract):
+    the scatters declare ``unique_indices`` so XLA can vectorise them.
 
     ``ones_feats``: the caller asserts every valid feature row is the
     constant 1 (true for the LIVE path — the reference uses all-ones voxel
@@ -61,14 +63,17 @@ def densify(sv: SparseVoxels,
     jj = jnp.clip(c[..., 1] + y // 2, 0, y - 1)
     kk = jnp.clip(c[..., 2] + z // 2, 0, z - 1)
     flat = (ii * y + jj) * z + kk  # [B, N]
-    flat = jnp.where(sv.mask, flat, x * y * z)  # padding -> sacrificial slot
+    # padding rows -> far out of bounds, dropped by the scatter; the
+    # remaining indices are unique (quantize() deduplicates), which lets
+    # XLA lower a vectorised scatter instead of a serialised one
+    flat = jnp.where(sv.mask, flat, jnp.int32(2 ** 30))
 
     ch = sv.channels
 
     if ones_feats and ch == 1:
         def scatter_mask(f):
-            return jnp.zeros((x * y * z + 1,), bool).at[f].set(
-                True, mode="drop")[:-1]
+            return jnp.zeros((x * y * z,), bool).at[f].set(
+                True, mode="drop", unique_indices=True)
 
         mask = jax.vmap(scatter_mask)(flat).reshape(b, x, y, z)
         return DenseVoxelGrid(
@@ -76,10 +81,11 @@ def densify(sv: SparseVoxels,
             mask=mask, stride=sv.stride)
 
     def scatter_one(f, feat):
-        grid = jnp.zeros((x * y * z + 1, ch), sv.feats.dtype)
-        grid = grid.at[f].add(feat, mode="drop")
-        m = jnp.zeros((x * y * z + 1,), bool).at[f].set(True, mode="drop")
-        return grid[:-1], m[:-1]
+        grid = jnp.zeros((x * y * z, ch), sv.feats.dtype)
+        grid = grid.at[f].add(feat, mode="drop", unique_indices=True)
+        m = jnp.zeros((x * y * z,), bool).at[f].set(True, mode="drop",
+                                                    unique_indices=True)
+        return grid, m
 
     feats, mask = jax.vmap(scatter_one)(flat, sv.feats)
     return DenseVoxelGrid(

@@ -34,6 +34,7 @@ def main() -> None:
 
     from agplace_tpu.config import kitti360_config
     from agplace_tpu.models.mm import MM
+    from agplace_tpu.sparse.bev_grid import rasterize_from_voxels_host
     from agplace_tpu.sparse.voxels import batched_from_pointclouds
 
     cfg = kitti360_config()
@@ -52,7 +53,12 @@ def main() -> None:
         r * np.cos(elev) * np.sin(az),
         np.maximum(r * np.sin(elev), -1.73),
     ], axis=-1).astype(np.float32)
-    vox = batched_from_pointclouds(pts, cfg.data.quant_size, VOX_CAP)
+    # voxelize + rasterize on HOST — the production input-pipeline split
+    # (prepare_query_vox): the device program starts from the folded BEV
+    # occupancy grid, exactly like the live collate path
+    sv = batched_from_pointclouds(pts, cfg.data.quant_size, VOX_CAP)
+    vox = rasterize_from_voxels_host(sv, cfg.model.mm.vox_grid_extent)
+    vox = jax.tree_util.tree_map(jnp.asarray, vox)
 
     mm = MM(config=cfg.model.mm, train=False,
             dtype=jnp.bfloat16)  # serving precision: bf16 acts, fp32 params

@@ -55,8 +55,13 @@ def test_collate_deterministic_given_rng():
     b2 = collate_train(ds, rows, cfg, np.random.default_rng(3))
     np.testing.assert_array_equal(np.asarray(b1["query_image"]),
                                   np.asarray(b2["query_image"]))
-    np.testing.assert_array_equal(np.asarray(b1["vox"].coords),
-                                  np.asarray(b2["vox"].coords))
+    # vox is a BEVGrid (default bev backend) or SparseVoxels: compare all
+    # array leaves generically
+    import jax
+
+    for a, b in zip(jax.tree_util.tree_leaves(b1["vox"]),
+                    jax.tree_util.tree_leaves(b2["vox"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_modality_drop_changes_embedding():

@@ -259,3 +259,64 @@ def test_bev_gradients_match_dense_backend():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=5e-3 * scale,
                                    err_msg=str(path))
+
+
+def test_host_rasterizer_matches_device_densify():
+    """rasterize_from_voxels_host (the input-pipeline path) must equal
+    bev_densify (the on-device scatter) exactly — mask and feats — on
+    random clouds with NaN padding and out-of-extent points."""
+    import numpy as np
+
+    from agplace_tpu.sparse.bev_grid import (
+        bev_densify,
+        rasterize_from_voxels_host,
+    )
+    from agplace_tpu.sparse.voxels import batched_from_pointclouds
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-300, 300, (3, 500, 3)).astype(np.float32)
+    pts[0, 400:] = np.nan  # padded rows
+    pts[2, :] = np.nan  # fully-empty cloud
+    sv = batched_from_pointclouds(pts, 2.0, 256)
+    extent = (64, 64, 8)
+
+    host = rasterize_from_voxels_host(sv, extent)
+    dev = bev_densify(sv, extent=extent, dtype=jnp.float32, ones_feats=True)
+    np.testing.assert_array_equal(np.asarray(host.mask), np.asarray(dev.mask))
+    np.testing.assert_array_equal(np.asarray(host.feats, dtype=np.float32),
+                                  np.asarray(dev.feats))
+    assert host.z == dev.z and host.stride == dev.stride
+
+
+def test_mm_accepts_host_rasterized_grid():
+    """MM(vox=BEVGrid) must produce the same embedding as MM(vox=
+    SparseVoxels) — including the drop='pc' ablation on the grid path."""
+    import dataclasses
+
+    import numpy as np
+
+    from agplace_tpu.config import synthetic_config
+    from agplace_tpu.models.mm import MM
+    from agplace_tpu.sparse.bev_grid import rasterize_from_voxels_host
+    from agplace_tpu.sparse.voxels import batched_from_pointclouds
+
+    cfg = synthetic_config(batch_size=2, image_size=32, vox_max_points=64)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    pts = rng.uniform(-20, 20, (2, 100, 3)).astype(np.float32)
+    sv = batched_from_pointclouds(pts, 2.0, 64)
+    grid = jax.tree_util.tree_map(
+        jnp.asarray,
+        rasterize_from_voxels_host(sv, cfg.model.mm.vox_grid_extent))
+
+    mm = MM(config=cfg.model.mm, train=False)
+    v = mm.init(jax.random.PRNGKey(0), imgs, sv)
+    e_sv = np.asarray(mm.apply(v, imgs, sv)["embedding"])
+    e_grid = np.asarray(mm.apply(v, imgs, grid)["embedding"])
+    np.testing.assert_allclose(e_sv, e_grid, rtol=1e-5, atol=1e-6)
+
+    mm_drop = MM(config=dataclasses.replace(cfg.model.mm, drop="pc"),
+                 train=False)
+    d_sv = np.asarray(mm_drop.apply(v, imgs, sv)["embedding"])
+    d_grid = np.asarray(mm_drop.apply(v, imgs, grid)["embedding"])
+    np.testing.assert_allclose(d_sv, d_grid, rtol=1e-5, atol=1e-6)

@@ -160,5 +160,7 @@ def test_collate_train_batch(nusc_root):
     assert batch["query_image"].shape == (2, 32, 3 * 48, 3)
     # [B, 1+nneg, NMAP, H, W, 3] with NMAP=2 (satellite+roadmap)
     assert batch["db_map"].shape[:3] == (2, 3, 2)
-    assert batch["vox"].mask.shape == (2, cfg.data.vox_max_points)
+    # default bev backend: collate rasterizes the clouds to a BEVGrid
+    gx, gy, gz = cfg.model.mm.vox_grid_extent
+    assert batch["vox"].mask.shape == (2, gx, gy, gz)
     assert bool(np.asarray(batch["vox"].mask).any())
