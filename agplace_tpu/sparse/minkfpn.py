@@ -22,13 +22,16 @@ import jax.numpy as jnp
 from agplace_tpu.sparse.modules import (
     ECABasicBlock,
     MaskedBatchNorm,
+    SparseASPP,
     SparseBasicBlock,
     SparseConv,
+    SparseConvNextBlock,
     SparseConvTranspose,
 )
 from agplace_tpu.sparse.voxels import SparseVoxels, sort_by_key
 
-_BLOCKS = {"eca": ECABasicBlock, "basic": SparseBasicBlock}
+_BLOCKS = {"eca": ECABasicBlock, "basic": SparseBasicBlock,
+           "aspp": SparseASPP, "convnext": SparseConvNextBlock}
 
 # GeneralMinkFPN (reference models/minkfpn.py:131-205) — the plain pyramid
 # without lateral/top-down wiring — is MinkFPN with num_top_down=0 (the
@@ -53,8 +56,8 @@ class MinkFPN(nn.Module):
         assert 0 <= self.num_top_down <= len(self.layers)
         if self.block not in _BLOCKS:
             raise NotImplementedError(
-                f"sparse backend blocks: {sorted(_BLOCKS)} (aspp/convnext "
-                f"exist on the bev/dense backends); got {self.block!r}")
+                f"sparse backend blocks: {sorted(_BLOCKS)}; "
+                f"got {self.block!r}")
         block_cls = _BLOCKS[self.block]
         n_stages = len(self.planes)
 

@@ -355,3 +355,64 @@ class MinkGeM(nn.Module):
         clamped = jnp.clip(sv.feats, min=self.eps) ** p
         pooled = masked_global_avg(sv.replace(feats=clamped))
         return pooled ** (1.0 / p)
+
+
+class SparseASPP(nn.Module):
+    """ASPP block on the padded-sparse backend (``models_minkloc/
+    minkfpn.py:14-37``, DEAD in the reference — intended behaviour, same
+    semantics as ``dense_grid.GridASPP`` / ``bev_grid.BEVASPP``): three
+    parallel odd convs (k=3/5/7), each BN+ReLU, summed."""
+
+    planes: int
+    train: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, sv: SparseVoxels, sorted_keys: jax.Array,
+                 table: Optional[jax.Array] = None):
+        feats = None
+        for i, k in enumerate((3, 5, 7)):
+            o, _ = SparseConv(self.planes, kernel_size=k,
+                              name=f"conv{i + 1}")(
+                sv, sorted_keys, table=table if k == 3 else None)
+            f = MaskedBatchNorm(use_running_average=not self.train,
+                                axis_name=self.axis_name,
+                                name=f"bn{i + 1}")(o.feats, o.mask)
+            r = nn.relu(f)
+            feats = r if feats is None else feats + r
+        feats = jnp.where(sv.mask[..., None], feats, 0.0)
+        return sv.replace(feats=feats), sorted_keys
+
+
+class SparseConvNextBlock(nn.Module):
+    """Sparse-ConvNeXt block on the padded-sparse backend
+    (``models_minkloc/minkfpn.py:41-60``, DEAD in the reference): conv k ->
+    BN -> 1x1 expand 4x -> ReLU -> 1x1 project -> + identity (1x1
+    downsample when channels change)."""
+
+    planes: int
+    kernel_size: int = 3
+    train: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, sv: SparseVoxels, sorted_keys: jax.Array,
+                 table: Optional[jax.Array] = None):
+        residual = sv
+        out, _ = SparseConv(self.planes, kernel_size=self.kernel_size,
+                            name="conv1")(sv, sorted_keys, table=table)
+        out = out.replace(feats=MaskedBatchNorm(
+            use_running_average=not self.train, axis_name=self.axis_name,
+            name="bn")(out.feats, out.mask))
+        out, _ = SparseConv(4 * self.planes, kernel_size=1,
+                            name="conv2")(out, sorted_keys)
+        out = out.replace(feats=nn.relu(out.feats))
+        out, _ = SparseConv(self.planes, kernel_size=1,
+                            name="conv3")(out, sorted_keys)
+        if residual.channels != self.planes:
+            residual, _ = SparseConv(self.planes, kernel_size=1,
+                                     name="downsample_conv")(
+                residual, sorted_keys)
+        feats = out.feats + residual.feats
+        feats = jnp.where(sv.mask[..., None], feats, 0.0)
+        return sv.replace(feats=feats), sorted_keys
