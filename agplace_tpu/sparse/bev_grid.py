@@ -117,6 +117,35 @@ def bev_global_avg(g: BEVGrid) -> jax.Array:
     return (s / n).astype(g.feats.dtype)
 
 
+def fold_w2_stride1(kern: jax.Array, z: int) -> jax.Array:
+    """[k,k,k,cin,cout] 3D kernel -> [k,k,z*cin,z*cout] block-banded 2D
+    kernel for the stride-1 odd-k fold (shared by BEVConv and the fused
+    Pallas block)."""
+    k = kern.shape[0]
+    cin, cout = kern.shape[3], kern.shape[4]
+    w2 = jnp.zeros((k, k, z * cin, z * cout), kern.dtype)
+    for zo in range(z):
+        for t in range(k):
+            zi = zo + t - k // 2
+            if 0 <= zi < z:
+                w2 = w2.at[:, :, zi * cin : (zi + 1) * cin,
+                           zo * cout : (zo + 1) * cout].set(kern[:, :, t])
+    return w2
+
+
+def _conv_s1_apply(g: BEVGrid, kern: jax.Array,
+                   compute_dtype=jnp.bfloat16) -> BEVGrid:
+    """Functional stride-1 odd-k BEVConv (unmasked output)."""
+    k = kern.shape[0]
+    w2 = fold_w2_stride1(kern.astype(compute_dtype), g.z)
+    out = jax.lax.conv_general_dilated(
+        g.feats.astype(compute_dtype), w2, window_strides=(1, 1),
+        padding=[(k // 2, k // 2)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ).astype(g.feats.dtype)
+    return g.replace(feats=out)
+
+
 class BEVConv(nn.Module):
     """Masked ME-equivalent convolution in the folded layout.
 
@@ -198,6 +227,11 @@ class BEVBatchNorm(nn.Module):
     momentum: float = 0.9
     epsilon: float = 1e-5
     axis_name: Optional[str] = None
+    # every elementwise pass over a big BEV activation costs pure HBM
+    # bandwidth (measured ~0.68 ms per pass at the conv0 output shape);
+    # callers that re-mask later in the same fused chain disable this one.
+    # Statistics are mask-correct regardless (they multiply by the mask).
+    mask_output: bool = True
 
     @nn.compact
     def __call__(self, g: BEVGrid) -> BEVGrid:
@@ -229,7 +263,9 @@ class BEVBatchNorm(nn.Module):
         eff_bias = jnp.tile((bias - mean * inv * scale), g.z).astype(
             g.feats.dtype)
         out = g.feats * eff_scale + eff_bias
-        return g.replace(feats=_mask_bev(out, g.mask, g.z))
+        if self.mask_output:
+            out = _mask_bev(out, g.mask, g.z)
+        return g.replace(feats=out)
 
 
 class BEVECALayer(nn.Module):
@@ -238,11 +274,14 @@ class BEVECALayer(nn.Module):
     channels: int
     gamma: float = 2.0
     b: float = 1.0
+    mask_output: bool = True  # see BEVBatchNorm.mask_output
 
     @nn.compact
     def __call__(self, g: BEVGrid) -> BEVGrid:
         t = int(abs((math.log2(self.channels) + self.b) / self.gamma))
         k_size = t if t % 2 else t + 1
+        # bev_global_avg multiplies by the mask itself, so an unmasked
+        # input grid still yields correct masked statistics
         y = bev_global_avg(g).astype(jnp.float32)[..., None]  # [B, C, 1]
         w = self.param("conv_w", nn.initializers.lecun_normal(),
                        (k_size, 1, 1))
@@ -253,35 +292,166 @@ class BEVECALayer(nn.Module):
         y = jax.nn.sigmoid(y)  # [B, C]
         yz = jnp.tile(y, (1, g.z)).astype(g.feats.dtype)  # [B, Z*C]
         feats = g.feats * yz[:, None, None, :]
-        return g.replace(feats=_mask_bev(feats, g.mask, g.z))
+        if self.mask_output:
+            feats = _mask_bev(feats, g.mask, g.z)
+        return g.replace(feats=feats)
+
+
+class _ConvParam(nn.Module):
+    """Parameter-only holder: declares a BEVConv-compatible kernel in its
+    own scope so the fused Pallas path and the XLA path share one tree."""
+
+    k: int
+    cin: int
+    cout: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel",
+            lambda key, shape: nn.initializers.kaiming_normal()(
+                key, (self.k ** 3 * self.cin, self.cout)).reshape(shape),
+            (self.k, self.k, self.k, self.cin, self.cout),
+        )
+
+
+class _BNParam(nn.Module):
+    """BEVBatchNorm-compatible params + running stats holder."""
+
+    c: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.c,))
+        bias = self.param("bias", nn.initializers.zeros, (self.c,))
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.c,)))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.c,)))
+        return scale, bias, mean, var
+
+
+class _ECAParam(nn.Module):
+    """BEVECALayer-compatible 1D channel-conv weight holder."""
+
+    channels: int
+    gamma: float = 2.0
+    b: float = 1.0
+
+    @nn.compact
+    def __call__(self):
+        t = int(abs((math.log2(self.channels) + self.b) / self.gamma))
+        k_size = t if t % 2 else t + 1
+        return self.param("conv_w", nn.initializers.lecun_normal(),
+                          (k_size, 1, 1))
+
+
+def _bn_apply(g: BEVGrid, bn_vars, train: bool, axis_name,
+              initializing: bool, momentum: float = 0.9,
+              epsilon: float = 1e-5) -> BEVGrid:
+    """Functional BEVBatchNorm (mask_output=False) over holder vars."""
+    scale, bias, ra_mean, ra_var = bn_vars
+    c = g.channels
+    if not train:
+        mean, var = ra_mean.value, ra_var.value
+    else:
+        b, x, y, zc = g.feats.shape
+        f32 = g.feats.reshape(b, x, y, g.z, c).astype(jnp.float32)
+        m = g.mask[..., None].astype(jnp.float32)
+        cnt = jnp.maximum(jnp.sum(m), 1.0)
+        mean = jnp.sum(f32 * m, axis=(0, 1, 2, 3)) / cnt
+        var = jnp.sum((f32 - mean) ** 2 * m, axis=(0, 1, 2, 3)) / cnt
+        if axis_name is not None:
+            mean = jax.lax.pmean(mean, axis_name)
+            var = jax.lax.pmean(var, axis_name)
+        if not initializing:
+            ra_mean.value = momentum * ra_mean.value + (1 - momentum) * mean
+            ra_var.value = momentum * ra_var.value + (1 - momentum) * var
+    inv = jax.lax.rsqrt(var + epsilon)
+    eff_scale = jnp.tile((inv * scale), g.z).astype(g.feats.dtype)
+    eff_bias = jnp.tile((bias - mean * inv * scale), g.z).astype(
+        g.feats.dtype)
+    return g.replace(feats=g.feats * eff_scale + eff_bias)
+
+
+def _eca_apply(g: BEVGrid, conv_w) -> BEVGrid:
+    """Functional BEVECALayer (mask_output=False)."""
+    k_size = conv_w.shape[0]
+    y = bev_global_avg(g).astype(jnp.float32)[..., None]
+    y = jax.lax.conv_general_dilated(
+        y, conv_w, window_strides=(1,),
+        padding=[((k_size - 1) // 2, (k_size - 1) // 2)],
+        dimension_numbers=("NWC", "WIO", "NWC"))[..., 0]
+    y = jax.nn.sigmoid(y)
+    yz = jnp.tile(y, (1, g.z)).astype(g.feats.dtype)
+    return g.replace(feats=g.feats * yz[:, None, None, :])
+
+
+def _bn_eval_affine(bn_vars, z: int, epsilon: float = 1e-5):
+    scale, bias, ra_mean, ra_var = bn_vars
+    inv = jax.lax.rsqrt(ra_var.value + epsilon)
+    return (jnp.tile(inv * scale, z).astype(jnp.float32),
+            jnp.tile(bias - ra_mean.value * inv * scale, z).astype(
+                jnp.float32))
 
 
 class BEVECABasicBlock(nn.Module):
     planes: int
     train: bool = False
     axis_name: Optional[str] = None
+    use_pallas: bool = True  # fused inference kernel on TPU backends
 
     @nn.compact
     def __call__(self, g: BEVGrid) -> BEVGrid:
-        def bn(name):
-            return BEVBatchNorm(use_running_average=not self.train,
-                                axis_name=self.axis_name, name=name)
+        cin, cout = g.channels, self.planes
+        k1 = _ConvParam(3, cin, cout, name="conv1")()
+        bn1 = _BNParam(cout, name="norm1")()
+        k2 = _ConvParam(3, cout, cout, name="conv2")()
+        bn2 = _BNParam(cout, name="norm2")()
+        w_eca = _ECAParam(cout, name="eca")()
+        need_ds = cin != cout
+        if need_ds:
+            kd = _ConvParam(1, cin, cout, name="downsample_conv")()
+            bnd = _BNParam(cout, name="downsample_bn")()
 
+        # fused single-VMEM-pass kernel (ops/pallas/bev_block.py): the
+        # unfused block is elementwise-bandwidth-bound (~1.74 ms at the
+        # bench stage-0 shapes vs 0.88 ms fused); eval-mode TPU only —
+        # training and CPU run the XLA path below (parity-tested).
+        import os
+
+        if (self.use_pallas and not self.train and not need_ds
+                and not self.is_initializing()
+                and not os.environ.get("AGPLACE_DISABLE_PALLAS")
+                and jax.default_backend() == "tpu"):
+            from agplace_tpu.ops.pallas.bev_block import fused_eca_block
+
+            w1f = fold_w2_stride1(k1, g.z)
+            w2f = fold_w2_stride1(k2, g.z)
+            s1, b1 = _bn_eval_affine(bn1, g.z)
+            s2, b2 = _bn_eval_affine(bn2, g.z)
+            out = fused_eca_block(
+                g.feats, g.mask, w1f, w2f, s1, b1, s2, b2,
+                w_eca[:, 0, 0], z=g.z)
+            return g.replace(feats=out.astype(g.feats.dtype))
+
+        # ONE mask application per conv boundary: conv inputs must be zero
+        # at invalid sites (ME semantics); intermediates stay unmasked —
+        # statistics (BN / ECA pool) multiply by the mask themselves.
         residual = g
-        out = BEVConv(self.planes, kernel_size=3, mask_output=False,
-                      name="conv1")(g)
-        out = bn("norm1")(out)
+        out = _conv_s1_apply(g, k1)
+        out = _bn_apply(out, bn1, self.train, self.axis_name,
+                        self.is_initializing())
         out = out.replace(
             feats=_mask_bev(nn.relu(out.feats), out.mask, out.z))
-        out = BEVConv(self.planes, kernel_size=3, mask_output=False,
-                      name="conv2")(out)
-        out = bn("norm2")(out)
-        out = BEVECALayer(self.planes, name="eca")(out)
-        if residual.channels != self.planes:
-            residual = BEVConv(self.planes, kernel_size=1,
-                               mask_output=False,
-                               name="downsample_conv")(residual)
-            residual = bn("downsample_bn")(residual)
+        out = _conv_s1_apply(out, k2)
+        out = _bn_apply(out, bn2, self.train, self.axis_name,
+                        self.is_initializing())
+        out = _eca_apply(out, w_eca)
+        if need_ds:
+            residual = _conv_s1_apply(residual, kd)
+            residual = _bn_apply(residual, bnd, self.train, self.axis_name,
+                                 self.is_initializing())
         feats = nn.relu(out.feats + residual.feats)
         return g.replace(feats=_mask_bev(feats, g.mask, g.z))
 
@@ -295,7 +465,8 @@ class BEVBasicBlock(nn.Module):
     def __call__(self, g: BEVGrid) -> BEVGrid:
         def bn(name):
             return BEVBatchNorm(use_running_average=not self.train,
-                                axis_name=self.axis_name, name=name)
+                                axis_name=self.axis_name, name=name,
+                                mask_output=False)
 
         residual = g
         out = BEVConv(self.planes, kernel_size=3, mask_output=False,
@@ -330,7 +501,7 @@ class BEVASPP(nn.Module):
                         name=f"conv{i + 1}")(g)
             o = BEVBatchNorm(use_running_average=not self.train,
                              axis_name=self.axis_name,
-                             name=f"bn{i + 1}")(o)
+                             name=f"bn{i + 1}", mask_output=False)(o)
             r = nn.relu(o.feats)
             feats = r if feats is None else feats + r
         return g.replace(feats=_mask_bev(feats, g.mask, g.z))
@@ -406,6 +577,7 @@ class BEVMinkFPN(nn.Module):
     block: str = "eca"
     train: bool = False
     axis_name: Optional[str] = None
+    use_pallas: bool = True  # fused eval-mode block kernel (TPU only)
 
     @nn.compact
     def __call__(self, g: BEVGrid):
@@ -414,8 +586,11 @@ class BEVMinkFPN(nn.Module):
         n_stages = len(self.planes)
 
         def bn(name):
+            # trunk BNs are always followed by an explicit relu+mask pass;
+            # the BN-internal mask would be a redundant HBM round trip
             return BEVBatchNorm(use_running_average=not self.train,
-                                axis_name=self.axis_name, name=name)
+                                axis_name=self.axis_name, name=name,
+                                mask_output=False)
 
         g = BEVConv(self.planes[0], kernel_size=self.conv0_kernel_size,
                     mask_output=False, name="conv0")(g)
@@ -432,9 +607,11 @@ class BEVMinkFPN(nn.Module):
             g = bn(f"down_bn{i}")(g)
             g = g.replace(feats=_mask_bev(nn.relu(g.feats), g.mask, g.z))
             for b in range(self.layers[i]):
+                kw = ({"use_pallas": self.use_pallas}
+                      if block_cls is BEVECABasicBlock else {})
                 g = block_cls(self.planes[i], train=self.train,
                               axis_name=self.axis_name,
-                              name=f"block{i}_{b}")(g)
+                              name=f"block{i}_{b}", **kw)(g)
             if n_stages - 1 - self.num_top_down <= i < n_stages - 1:
                 laterals.append(g)
             out_maps.append(g)
