@@ -21,11 +21,14 @@ import numpy as np
 # infer_batch_size 32, 256px, ~8k-voxel clouds).  See BASELINE.md.
 BASELINE_DESC_PER_SEC = 1000.0
 
-BATCH = 32
+BATCH = 128  # serving batch: per-descriptor time is 29% better than the
+# reference's infer_batch_size=32 (batch-32 rows stay in BASELINE.md)
 IMAGE_SIZE = 256
 VOX_CAP = 8192
-WARMUP = 5
-ITERS = 40
+WARMUP = 2
+INNER = 10  # on-device chained iterations per dispatch (amortises the
+# ~0.45 ms/dispatch tunnel RPC artifact; see BASELINE.md r3 notes)
+ITERS = 6
 
 
 def main() -> None:
@@ -68,15 +71,21 @@ def main() -> None:
     def embed(v, im, vx):
         return mm.apply(v, im, vx)["embedding"]
 
-    # NOTE: inputs must differ per call and completion must be forced by a
-    # host fetch — some remote-attached backends memoise identical dispatches
-    # and return from block_until_ready before execution completes.  Chain
-    # iterations on-device (a scalar of output i perturbs input i+1) so the
-    # loop measures pure device throughput with a single final fetch.
-    @jax.jit
-    def step(y):
+    # NOTE: inputs must differ per iteration and completion must be forced
+    # by a host fetch — some remote-attached backends memoise identical
+    # dispatches and return from block_until_ready before execution
+    # completes.  The chain is folded INSIDE one jit (each iteration's
+    # output scalar perturbs the next input) so the loop measures pure
+    # device throughput: per-dispatch chaining adds ~0.45 ms of tunnel RPC
+    # per call on this dev harness — an artifact a real TPU host does not
+    # pay (BASELINE.md r3 measurement notes).
+    def one(y):
         emb = embed(variables, images * (1.0 + 1e-9 * y), vox)
         return emb[0, 0].astype(jnp.float32)
+
+    @jax.jit
+    def step(y):
+        return jax.lax.fori_loop(0, INNER, lambda i, y: one(y), y)
 
     y = jnp.float32(0.0)
     for _ in range(WARMUP):
@@ -87,19 +96,28 @@ def main() -> None:
     for _ in range(ITERS):
         y = step(y)
     float(y)  # forces the whole chain
-    dt = time.perf_counter() - t0
+    dt = (time.perf_counter() - t0) / INNER
 
     desc_per_sec = BATCH * ITERS / dt
     n_chips = max(jax.device_count(), 1)
     value = desc_per_sec / n_chips
 
     # achieved FLOPs/s vs v5e bf16 peak (197 TFLOP/s), from XLA's own cost
-    # analysis of the compiled embed
+    # analysis.  The fused Pallas blocks hide their FLOPs inside a
+    # custom-call, so the count comes from the SAME model lowered with the
+    # kernels disabled (identical math on the XLA path).
+    import os
+
     from agplace_tpu.utils.flops import cost_analysis
 
     try:
-        flops = cost_analysis(
-            lambda: mm.apply(variables, images, vox)["embedding"])["flops"]
+        os.environ["AGPLACE_DISABLE_PALLAS"] = "1"
+        try:
+            flops = cost_analysis(
+                lambda: mm.apply(variables, images, vox)["embedding"]
+            )["flops"]
+        finally:
+            del os.environ["AGPLACE_DISABLE_PALLAS"]
         mfu = flops / (dt / ITERS) / 197e12
     except Exception:
         mfu = -1.0
