@@ -2,8 +2,17 @@
 SHI-Labs' CCT (``/root/reference/model/cct/cct.py:32-360``,
 ``transformers.py``), used via ``--backbone cct384`` with cls/seqpool/
 netvlad/gem aggregation.  ``cct_14_7x2_384``: 2-conv 7x7 tokenizer, 14
-transformer layers, dim 384, sinusoidal positional embedding, stochastic
-depth, sequence pooling head.
+transformer layers, dim 384, LEARNABLE positional embedding
+(``cct.py:342-349``), stochastic depth, sequence pooling head.
+
+Encoder layer follows ``transformers.py:96-99`` exactly:
+
+    src = src + drop_path(self_attn(pre_norm(src)))
+    src = norm1(src)                       # post-attention STREAM norm
+    src = src + drop_path(linear2(gelu(linear1(src))))
+
+with fused no-bias qkv attention (``transformers.py:18-34``).  Weight
+converter: ``utils/torch_convert.convert_cct``.
 """
 
 from __future__ import annotations
@@ -17,7 +26,8 @@ import numpy as np
 
 
 def sinusoidal_embedding(n_channels: int, dim: int) -> np.ndarray:
-    """CCT's fixed sinusoidal positional embedding (``cct.py``)."""
+    """CCT's fixed sinusoidal positional embedding (``cct.py`` sine
+    variants)."""
     pe = np.array([
         [p / (10000 ** (2 * (i // 2) / dim)) for i in range(dim)]
         for p in range(n_channels)
@@ -29,7 +39,7 @@ def sinusoidal_embedding(n_channels: int, dim: int) -> np.ndarray:
 
 class CCTTokenizer(nn.Module):
     """n_conv_layers of [Conv kxk stride s -> ReLU -> MaxPool 3x3/2]
-    (``model/cct/tokenizer.py``)."""
+    (``model/cct/tokenizer.py:23-34``)."""
 
     embed_dim: int = 384
     kernel_size: int = 7
@@ -60,33 +70,49 @@ class CCT(nn.Module):
     num_heads: int = 6
     mlp_ratio: float = 3.0
     stochastic_depth: float = 0.1
-    seq_len_hint: int = 96 * 96  # upper bound for pos-embed table
+    positional_embedding: str = "learnable"  # learnable | sine (cct.py:343)
     train: bool = False
 
     @nn.compact
     def __call__(self, x):  # [B, H, W, 3]
-        tokens = CCTTokenizer(self.embed_dim, name="tokenizer")(x)
-        b, n, c = tokens.shape
-        pe = sinusoidal_embedding(n, c)
-        tokens = tokens + jnp.asarray(pe)
+        c = self.embed_dim
+        h = self.num_heads
+        hd = c // h
+        tokens = CCTTokenizer(c, name="tokenizer")(x)
+        b, n, _ = tokens.shape
+        if self.positional_embedding == "learnable":
+            pos = self.param("pos", nn.initializers.normal(0.2), (1, n, c))
+        else:
+            pos = jnp.asarray(sinusoidal_embedding(n, c))
+        tokens = tokens + pos
 
         # stochastic depth: linearly increasing drop rate per layer; at
         # train time residual branches are dropped per-sample
         dpr = np.linspace(0, self.stochastic_depth, self.num_layers)
+        scale = hd ** -0.5
         for i in range(self.num_layers):
-            y = nn.LayerNorm(name=f"ln1_{i}")(tokens)
-            y = nn.MultiHeadDotProductAttention(
-                num_heads=self.num_heads, name=f"attn_{i}")(y, y)
-            y = self._drop_path(y, dpr[i], f"dp1_{i}")
-            tokens = tokens + y
-            y = nn.LayerNorm(name=f"ln2_{i}")(tokens)
-            y = nn.Dense(int(c * self.mlp_ratio), name=f"mlp1_{i}")(y)
+            # attention branch on pre-normed input (transformers.py:96)
+            y = nn.LayerNorm(epsilon=1e-5, name=f"pre_norm_{i}")(tokens)
+            qkv = nn.Dense(3 * c, use_bias=False, name=f"qkv_{i}")(y)
+            qkv = qkv.reshape(b, n, 3, h, hd)
+            q, k, v = (qkv[:, :, j] for j in range(3))
+            attn = jax.nn.softmax(
+                jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                           preferred_element_type=jnp.float32) * scale,
+                axis=-1)
+            y = jnp.einsum("bhnm,bmhd->bnhd", attn,
+                           v.astype(jnp.float32)).reshape(b, n, c)
+            y = nn.Dense(c, name=f"proj_{i}")(y.astype(tokens.dtype))
+            tokens = tokens + self._drop_path(y, dpr[i], f"dp1_{i}")
+            # post-attention STREAM norm, then the MLP (transformers.py:97-99)
+            tokens = nn.LayerNorm(epsilon=1e-5, name=f"norm1_{i}")(tokens)
+            y = nn.Dense(int(c * self.mlp_ratio), name=f"mlp1_{i}")(tokens)
             y = nn.Dense(c, name=f"mlp2_{i}")(nn.gelu(y))
-            y = self._drop_path(y, dpr[i], f"dp2_{i}")
-            tokens = tokens + y
-        tokens = nn.LayerNorm(name="ln_f")(tokens)
+            tokens = tokens + self._drop_path(y, dpr[i], f"dp2_{i}")
+        tokens = nn.LayerNorm(epsilon=1e-5, name="ln_f")(tokens)
 
-        # sequence pooling (``cct.py`` SeqPool): attention-weighted sum
+        # sequence pooling (``transformers.py:163,199-201``):
+        # softmax(attention_pool(x))^T @ x
         attn = nn.Dense(1, name="attention_pool")(tokens)  # [B, N, 1]
         attn = jax.nn.softmax(attn, axis=1)
         pooled = jnp.sum(attn * tokens, axis=1)  # [B, C]

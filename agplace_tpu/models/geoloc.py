@@ -166,6 +166,20 @@ class GeoLocalizationNet(nn.Module):
             side = int(n ** 0.5)
             feat = tokens[:, 1:].reshape(b, side, side, -1)
             dim = feat.shape[-1]
+        elif self.backbone == "cct384":
+            # cct_14_7x2_384 wrapped like model/network.py:154-169; trunc_te
+            # truncates the encoder stack (blocks[:trunc_te], :159)
+            from agplace_tpu.models.cct import CCT
+
+            tokens, pooled = CCT(
+                num_layers=self.trunc_te or 14, train=self.train,
+                name="backbone")(x)
+            if self.aggregation in ("seqpool", "cls"):
+                return _l2(pooled)  # sequence pooling lives inside CCT
+            b, n, _ = tokens.shape
+            side = int(n ** 0.5)
+            feat = tokens[:, : side * side].reshape(b, side, side, -1)
+            dim = feat.shape[-1]
         else:
             raise NotImplementedError(self.backbone)
 

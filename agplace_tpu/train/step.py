@@ -178,12 +178,12 @@ def apply_pretrained_backbones(cfg: Config, params, batch_stats):
             graft(tower, prefix + ("backbone",), arch, num_stages=stages)
         elif bb in ("vgg16", "alexnet"):
             graft(tower, prefix + ("backbone",), bb)
-        elif bb == "vit":
+        elif bb in ("vit", "cct384"):
             node = params[tower]
             for k in prefix + ("backbone",):
                 node = node[k]
             n_tokens = node["pos"].shape[1]  # resize PE to this geometry
-            graft(tower, prefix + ("backbone",), "vit", n_tokens=n_tokens)
+            graft(tower, prefix + ("backbone",), bb, n_tokens=n_tokens)
 
     if cfg.model.modelq == "mm":
         graft_fe("mm", ("image_fe",), cfg.model.mm.imgfe,

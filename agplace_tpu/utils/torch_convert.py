@@ -334,6 +334,54 @@ def convert_vit_b16(state_dict, heads=12, n_tokens=None):
     return params, {}
 
 
+def _resize_pos_embed_grid(pos, n_new):
+    """Bilinear resize of a gridded (no-CLS) positional embedding."""
+    import jax
+    import jax.numpy as jnp
+
+    side_old = int(round(pos.shape[1] ** 0.5))
+    side_new = int(round(n_new ** 0.5))
+    grid = pos.reshape(1, side_old, side_old, -1)
+    grid = jax.image.resize(jnp.asarray(grid),
+                            (1, side_new, side_new, grid.shape[-1]),
+                            method="bilinear")
+    return np.asarray(grid).reshape(1, side_new * side_new, -1)
+
+
+def convert_cct(state_dict, n_tokens=None):
+    """SHI-Labs CCT checkpoint (``model/cct/cct.py:25-28`` URL registry,
+    cct_14_7x2_384 layout) -> ``models/cct.CCT`` params.  ``n_tokens``:
+    target token count — the learnable positional embedding is grid-resized
+    when the input geometry differs from the 384px checkpoint (the
+    reference resizes CCT pos-embeds the same way, model/cct/helpers.py:26).
+    """
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    params = {"tokenizer": {}}
+    i = 0
+    while f"tokenizer.conv_layers.{i}.0.weight" in sd:
+        params["tokenizer"][f"conv{i}"] = {
+            "kernel": _conv(sd[f"tokenizer.conv_layers.{i}.0.weight"])}
+        i += 1
+    pos = sd["classifier.positional_emb"]
+    if n_tokens is not None and pos.shape[1] != n_tokens:
+        pos = _resize_pos_embed_grid(pos, n_tokens)
+    params["pos"] = pos
+    i = 0
+    while f"classifier.blocks.{i}.pre_norm.weight" in sd:
+        src = f"classifier.blocks.{i}"
+        params[f"pre_norm_{i}"] = _ln(sd, f"{src}.pre_norm")
+        params[f"qkv_{i}"] = {
+            "kernel": sd[f"{src}.self_attn.qkv.weight"].T}
+        params[f"proj_{i}"] = _lin(sd, f"{src}.self_attn.proj")
+        params[f"norm1_{i}"] = _ln(sd, f"{src}.norm1")
+        params[f"mlp1_{i}"] = _lin(sd, f"{src}.linear1")
+        params[f"mlp2_{i}"] = _lin(sd, f"{src}.linear2")
+        i += 1
+    params["ln_f"] = _ln(sd, "classifier.norm")
+    params["attention_pool"] = _lin(sd, "classifier.attention_pool")
+    return params, {}
+
+
 _CONVERTERS = {
     "vgg16": convert_vgg16,
     "alexnet": convert_alexnet,
@@ -341,6 +389,7 @@ _CONVERTERS = {
     "squeezenet10": lambda sd, **kw: convert_squeezenet(sd, "1_0"),
     "squeezenet11": lambda sd, **kw: convert_squeezenet(sd, "1_1"),
     "vit": convert_vit_b16,
+    "cct384": convert_cct,
 }
 
 _ARCH_KEY_PROBE = {
@@ -351,6 +400,7 @@ _ARCH_KEY_PROBE = {
     "squeezenet10": "features.12.expand3x3.weight",
     "squeezenet11": "features.12.expand3x3.weight",
     "vit": "embeddings.cls_token",
+    "cct384": "classifier.blocks.0.self_attn.qkv.weight",
 }
 
 

@@ -323,3 +323,120 @@ def test_apply_pretrained_backbones_from_mounted_weights(tmp_path,
     assert "fc" in got  # fresh head still present (not grafted)
     # the MM tower's resnet stays random-init (no resnet18.pth mounted)
     assert "image_fe" in state.params["mm"]
+
+
+# --------------------------------------------------------------------- cct
+class _TorchCCTAttention(tnn.Module):
+    """transformers.py:7-34 Attention: fused no-bias qkv + proj."""
+
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.num_heads = heads
+        self.scale = (dim // heads) ** -0.5
+        self.qkv = tnn.Linear(dim, dim * 3, bias=False)
+        self.proj = tnn.Linear(dim, dim)
+
+    def forward(self, x):
+        B, N, C = x.shape
+        qkv = self.qkv(x).reshape(B, N, 3, self.num_heads,
+                                  C // self.num_heads).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = (q @ k.transpose(-2, -1)) * self.scale
+        attn = attn.softmax(dim=-1)
+        x = (attn @ v).transpose(1, 2).reshape(B, N, C)
+        return self.proj(x)
+
+
+class _TorchCCTLayer(tnn.Module):
+    """transformers.py:73-99 TransformerEncoderLayer (eval, no dropout)."""
+
+    def __init__(self, dim, heads, ff):
+        super().__init__()
+        self.pre_norm = tnn.LayerNorm(dim)
+        self.self_attn = _TorchCCTAttention(dim, heads)
+        self.linear1 = tnn.Linear(dim, ff)
+        self.norm1 = tnn.LayerNorm(dim)
+        self.linear2 = tnn.Linear(ff, dim)
+
+    def forward(self, src):
+        src = src + self.self_attn(self.pre_norm(src))
+        src = self.norm1(src)
+        src2 = self.linear2(torch.nn.functional.gelu(self.linear1(src)))
+        return src + src2
+
+
+class _TorchCCT(tnn.Module):
+    """cct_14_7x2-shaped mirror with checkpoint-identical key names."""
+
+    def __init__(self, dim=64, heads=4, layers=2, mlp_ratio=3.0,
+                 n_tokens=16):
+        super().__init__()
+
+        class Tok(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv_layers = tnn.Sequential(
+                    tnn.Sequential(tnn.Conv2d(3, dim // 2, 7, 2, 3,
+                                              bias=False), tnn.ReLU(),
+                                   tnn.MaxPool2d(3, 2, 1)),
+                    tnn.Sequential(tnn.Conv2d(dim // 2, dim, 7, 2, 3,
+                                              bias=False), tnn.ReLU(),
+                                   tnn.MaxPool2d(3, 2, 1)),
+                )
+
+            def forward(self, x):
+                return self.conv_layers(x).flatten(2, 3).transpose(-2, -1)
+
+        class Clf(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.positional_emb = tnn.Parameter(
+                    torch.randn(1, n_tokens, dim) * 0.2)
+                self.blocks = tnn.ModuleList([
+                    _TorchCCTLayer(dim, heads, int(dim * mlp_ratio))
+                    for _ in range(layers)])
+                self.norm = tnn.LayerNorm(dim)
+                self.attention_pool = tnn.Linear(dim, 1)
+
+            def forward(self, x):
+                x = x + self.positional_emb
+                for blk in self.blocks:
+                    x = blk(x)
+                x = self.norm(x)
+                w = torch.softmax(self.attention_pool(x), dim=1)
+                return x, (w.transpose(-2, -1) @ x).squeeze(-2)
+
+        self.tokenizer = Tok()
+        self.classifier = Clf()
+
+    def forward(self, x):
+        return self.classifier(self.tokenizer(x))
+
+
+def test_cct_converter_matches_torch():
+    from agplace_tpu.models.cct import CCT
+    from agplace_tpu.utils.torch_convert import convert_cct
+
+    dim, heads, layers = 64, 4, 2
+    x = _rand_img((2, 3, 64, 64), seed=7)  # tokenizer /16 -> 4x4=16 tokens
+    tc = _TorchCCT(dim, heads, layers, n_tokens=16).eval()
+    with torch.no_grad():
+        want_tokens, want_pooled = tc(torch.from_numpy(x))
+    params, _ = convert_cct(tc.state_dict())
+
+    m = CCT(embed_dim=dim, num_layers=layers, num_heads=heads,
+            mlp_ratio=3.0)
+    got_tokens, got_pooled = m.apply({"params": params},
+                                     jax.numpy.asarray(_nhwc(x)))
+    np.testing.assert_allclose(np.asarray(got_tokens),
+                               want_tokens.numpy(), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_pooled),
+                               want_pooled.numpy(), rtol=2e-3, atol=2e-3)
+
+
+def test_cct_pos_embed_grid_resize():
+    from agplace_tpu.utils.torch_convert import convert_cct
+
+    tc = _TorchCCT(64, 4, 1, n_tokens=16).eval()
+    params, _ = convert_cct(tc.state_dict(), n_tokens=64)
+    assert params["pos"].shape == (1, 64, 64)

@@ -16,6 +16,8 @@ from agplace_tpu.models.pooling import CRN
     ("alexnet", "spoc"),
     ("vit", "cls"),
     ("vit", "gem"),
+    ("cct384", "seqpool"),
+    ("cct384", "gem"),
 ])
 def test_geoloc_variants(backbone, agg):
     x = jnp.asarray(
