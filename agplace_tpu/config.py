@@ -53,6 +53,13 @@ class DataConfig:
     q_jitter: float = 0.0
     db_jitter: float = 0.0
     color_jitter: float = 0.0
+    # DVGLB-path torchvision aug flags (tools/options.py:230-233; the
+    # reference ships them parse-only — transforms commented out at
+    # datasets_ws.py:516-519 — implemented here with intended semantics)
+    horizontal_flip: bool = False
+    rand_perspective: float = 0.0
+    random_resized_crop: float = 0.0
+    random_rotation: float = 0.0
     # per-component jitter strengths (reference --brightness/--contrast/
     # --saturation/--hue feeding torchvision ColorJitter); None = use the
     # uniform q_jitter/db_jitter strength for that component
@@ -430,6 +437,10 @@ _FLAG_TABLE = [
     ("q_jitter", "data.q_jitter", "float"),
     ("db_jitter", "data.db_jitter", "float"),
     ("color_jitter", "data.color_jitter", "float"),
+    ("horizontal_flip", "data.horizontal_flip", "bool"),
+    ("rand_perspective", "data.rand_perspective", "float"),
+    ("random_resized_crop", "data.random_resized_crop", "float"),
+    ("random_rotation", "data.random_rotation", "float"),
     ("brightness", "data.brightness", "opt_float"),
     ("contrast", "data.contrast", "opt_float"),
     ("saturation", "data.saturation", "opt_float"),

@@ -65,6 +65,14 @@ class FolderDataset(PlaceDataset):
             else cfg.data.norm_mean
         self.std = (0.229, 0.224, 0.225) if imagenet_norm \
             else cfg.data.norm_std
+        # DVGLB-path torchvision query augs (intended behaviour of the
+        # reference's parse-only flags, datasets_ws.py:514-522): train
+        # queries only
+        d = cfg.data
+        self._augment = split == "train" and (
+            d.horizontal_flip or d.rand_perspective > 0
+            or d.random_resized_crop > 0 or d.random_rotation > 0)
+        self._aug_rng = np.random.default_rng(cfg.train.seed)
         self.soft_positives_per_query = radius_neighbors(
             self.q_eastnorth, self.db_eastnorth,
             cfg.data.val_positive_dist_threshold)
@@ -72,8 +80,13 @@ class FolderDataset(PlaceDataset):
             self.q_eastnorth, self.db_eastnorth,
             cfg.data.train_positives_dist_threshold)
 
-    def _load(self, path: str, size: int) -> np.ndarray:
+    def _load(self, path: str, size: int, augment: bool = False
+              ) -> np.ndarray:
         img = load_image_rgb(path)
+        if augment:
+            from agplace_tpu.data.transforms import random_query_augment
+
+            img = random_query_augment(img, self.cfg.data, self._aug_rng)
         img = resize(img, (size, size))
         return normalize(img, self.mean, self.std)
 
@@ -95,7 +108,8 @@ class FolderDataset(PlaceDataset):
                                max(size, round(w * scale))))
             img = center_crop(img, size)
             return normalize(img, self.mean, self.std)
-        return self._load(path, self.cfg.data.q_resize)
+        return self._load(path, self.cfg.data.q_resize,
+                          augment=self._augment)
 
     def load_query_crops(self, idx: int, crop: int) -> np.ndarray:
         """[5, crop, crop, 3] five-crops for the crop-based test methods

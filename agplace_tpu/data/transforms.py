@@ -104,3 +104,102 @@ def five_crops(img: np.ndarray, size: int) -> np.ndarray:
     br = img[h - size:, w - size:]
     ct = center_crop(img, size)
     return np.stack([tl, tr, bl, br, ct])
+
+
+# ---------------------------------------------------------------------------
+# torchvision-style random query augmentations (reference flags
+# ``tools/options.py:230-233``; the transforms themselves are commented out
+# in the shipped DVGLB dataset, ``datasets_ws.py:516-519`` — implemented
+# here with the INTENDED torchvision semantics)
+# ---------------------------------------------------------------------------
+
+
+def random_horizontal_flip(img: np.ndarray, rng: np.random.Generator,
+                           p: float = 0.5) -> np.ndarray:
+    """T.RandomHorizontalFlip."""
+    if rng.random() < p:
+        return img[:, ::-1].copy()
+    return img
+
+
+def random_rotation(img: np.ndarray, degrees: float,
+                    rng: np.random.Generator) -> np.ndarray:
+    """T.RandomRotation(degrees): uniform angle in [-d, d], bilinear,
+    constant-zero fill, output size preserved."""
+    if degrees <= 0:
+        return img
+    ang = float(rng.uniform(-degrees, degrees))
+    pil = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
+    pil = pil.rotate(ang, resample=Image.BILINEAR, expand=False)
+    return np.asarray(pil, np.float32) / 255.0
+
+
+def random_resized_crop(img: np.ndarray, scale_lo: float,
+                        rng: np.random.Generator) -> np.ndarray:
+    """T.RandomResizedCrop(size=orig, scale=(1-x, 1)) as the reference
+    configures it (``datasets_ws.py:518``): area scale in [1-x, 1], aspect
+    ratio in [3/4, 4/3], resized back to the input size."""
+    if scale_lo >= 1.0:
+        return img
+    h, w = img.shape[:2]
+    area = h * w
+    for _ in range(10):
+        target = area * float(rng.uniform(scale_lo, 1.0))
+        ratio = float(np.exp(rng.uniform(np.log(3 / 4), np.log(4 / 3))))
+        cw = int(round(np.sqrt(target * ratio)))
+        ch = int(round(np.sqrt(target / ratio)))
+        if 0 < cw <= w and 0 < ch <= h:
+            top = int(rng.integers(0, h - ch + 1))
+            left = int(rng.integers(0, w - cw + 1))
+            crop = img[top : top + ch, left : left + cw]
+            return resize(crop, (h, w))
+    return img  # torchvision center-crop fallback degenerates to identity
+
+
+def random_perspective(img: np.ndarray, distortion: float,
+                       rng: np.random.Generator,
+                       p: float = 0.5) -> np.ndarray:
+    """T.RandomPerspective(distortion_scale): displaced corners + 8-dof
+    perspective warp (PIL QUAD/PERSPECTIVE semantics)."""
+    if distortion <= 0 or rng.random() >= p:
+        return img
+    h, w = img.shape[:2]
+    dx, dy = distortion * w / 2, distortion * h / 2
+
+    def jig(x0, y0, sx, sy):
+        return (x0 + sx * float(rng.uniform(0, dx)),
+                y0 + sy * float(rng.uniform(0, dy)))
+
+    dst = [jig(0, 0, 1, 1), jig(w - 1, 0, -1, 1),
+           jig(w - 1, h - 1, -1, -1), jig(0, h - 1, 1, -1)]
+    src = [(0, 0), (w - 1, 0), (w - 1, h - 1), (0, h - 1)]
+    # solve the 8 perspective coefficients mapping dst -> src
+    a = []
+    b = []
+    for (x, y), (u, v) in zip(dst, src):
+        a.append([x, y, 1, 0, 0, 0, -u * x, -u * y])
+        a.append([0, 0, 0, x, y, 1, -v * x, -v * y])
+        b.extend([u, v])
+    coeffs = np.linalg.solve(np.asarray(a, np.float64),
+                             np.asarray(b, np.float64))
+    pil = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
+    pil = pil.transform((w, h), Image.PERSPECTIVE, tuple(coeffs),
+                        Image.BILINEAR)
+    return np.asarray(pil, np.float32) / 255.0
+
+
+def random_query_augment(img: np.ndarray, data_cfg,
+                         rng: np.random.Generator) -> np.ndarray:
+    """The DVGLB query augmentation stack in the reference's intended order
+    (``datasets_ws.py:514-522``): perspective -> resized-crop -> rotation
+    (+ horizontal flip, flag ``tools/options.py:231``)."""
+    if getattr(data_cfg, "rand_perspective", 0.0):
+        img = random_perspective(img, data_cfg.rand_perspective, rng)
+    if getattr(data_cfg, "random_resized_crop", 0.0):
+        img = random_resized_crop(img, 1.0 - data_cfg.random_resized_crop,
+                                  rng)
+    if getattr(data_cfg, "random_rotation", 0.0):
+        img = random_rotation(img, data_cfg.random_rotation, rng)
+    if getattr(data_cfg, "horizontal_flip", False):
+        img = random_horizontal_flip(img, rng)
+    return img

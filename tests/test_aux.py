@@ -174,3 +174,69 @@ def test_folder_test_methods_single_query_central_crop(tmp_path):
     recalls, _ = evaluate(cfg_sq, ds_sq, state.params, state.batch_stats,
                           embed_q, embed_db)
     assert recalls.shape == (4,) and np.isfinite(recalls).all()
+
+
+def test_dvglb_query_augmentations(folder_root):
+    """The reference's parse-only torchvision aug flags (tools/options.py:
+    230-233; transforms commented out at datasets_ws.py:516-519) now have
+    functional equivalents: each op preserves shape/range, is deterministic
+    under a seeded rng, and is identity at zero settings; FolderDataset
+    applies the stack to TRAIN queries only."""
+    import dataclasses
+
+    from agplace_tpu.config import parse_arguments, synthetic_config
+    from agplace_tpu.data.folder_dataset import FolderDataset
+    from agplace_tpu.data.transforms import (
+        random_horizontal_flip,
+        random_perspective,
+        random_query_augment,
+        random_resized_crop,
+        random_rotation,
+    )
+
+    rng = np.random.default_rng(0)
+    img = rng.random((40, 48, 3)).astype(np.float32)
+
+    # determinism + shape + range per op
+    for fn, args in [
+        (random_horizontal_flip, ()),
+        (random_rotation, (20.0,)),
+        (random_resized_crop, (0.6,)),
+        (random_perspective, (0.4,)),
+    ]:
+        a = fn(img, *args, np.random.default_rng(7)) if args else \
+            fn(img, np.random.default_rng(7))
+        b = fn(img, *args, np.random.default_rng(7)) if args else \
+            fn(img, np.random.default_rng(7))
+        np.testing.assert_array_equal(a, b)
+        assert a.shape == img.shape and a.dtype == np.float32
+        assert a.min() >= 0.0 and a.max() <= 1.0
+
+    # identity at zero settings
+    cfg0 = synthetic_config().data
+    np.testing.assert_array_equal(
+        random_query_augment(img, cfg0, np.random.default_rng(1)), img)
+
+    # flags parse into DataConfig
+    cfg = parse_arguments([
+        "--dataset", "synthetic", "--horizontal_flip", "true",
+        "--rand_perspective", "0.3", "--random_resized_crop", "0.2",
+        "--random_rotation", "15",
+    ])
+    assert cfg.data.horizontal_flip is True
+    assert cfg.data.rand_perspective == 0.3
+    assert cfg.data.random_resized_crop == 0.2
+    assert cfg.data.random_rotation == 15.0
+
+    # FolderDataset: train queries augmented (stochastic across calls),
+    # database and test split untouched
+    cfg = dataclasses.replace(cfg, data=dataclasses.replace(
+        cfg.data, q_resize=32, db_resize=32, db_cropsize=32))
+    ds = FolderDataset(cfg, folder_root, "train")
+    q1 = ds.load_query_image(0)
+    q2 = ds.load_query_image(0)
+    assert q1.shape == q2.shape == (32, 32, 3)
+    assert not np.array_equal(q1, q2)  # random aug applied per call
+    d1 = ds.load_db_maps(0)
+    d2 = ds.load_db_maps(0)
+    np.testing.assert_array_equal(d1, d2)  # database never augmented
