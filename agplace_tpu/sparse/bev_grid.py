@@ -399,7 +399,12 @@ class BEVECABasicBlock(nn.Module):
     planes: int
     train: bool = False
     axis_name: Optional[str] = None
-    use_pallas: bool = True  # fused inference kernel on TPU backends
+    # fused inference kernel (ops/pallas/bev_block.py): 2x the XLA block
+    # standalone, but measured kernel-vs-XLA outputs on REAL TPU differ by
+    # up to 5.8% relative (CPU-interpret parity is tight — a Mosaic-
+    # lowering divergence, suspected halo-padding), and the full-model
+    # speedup is nil; OFF by default until hardware parity is proven.
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, g: BEVGrid) -> BEVGrid:
@@ -577,7 +582,7 @@ class BEVMinkFPN(nn.Module):
     block: str = "eca"
     train: bool = False
     axis_name: Optional[str] = None
-    use_pallas: bool = True  # fused eval-mode block kernel (TPU only)
+    use_pallas: bool = False  # fused eval block kernel (see BEVECABasicBlock)
 
     @nn.compact
     def __call__(self, g: BEVGrid):
