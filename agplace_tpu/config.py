@@ -142,6 +142,14 @@ class MMConfig:
     #   "dense"  = masked dense-grid conv3d (sparse/dense_grid.py)
     #   "sparse" = padded gather-GEMM (clouds beyond the grid extent)
     voxfe_backend: str = "bev"
+    # fused Pallas kernel for eval-mode ECA blocks on the BEV backend
+    # (ops/pallas/bev_block.py).  Hardware-parity proven after the r3
+    # WAR-hazard fix, but OFF by default: measured full-model A/B is
+    # neutral at batch 32 and -4.5% at serving batch 128 — XLA's
+    # in-context epilogue fusion already covers the single block
+    # (BASELINE.md r3 notes).  AGPLACE_DISABLE_PALLAS=1 also forces the
+    # XLA path at runtime.
+    bev_pallas: bool = False
     # LiDAR clouds are flat: z extent 8 voxels (±8 m at quant 2) covers the
     # KITTI/nuScenes vertical range; xy ±128 m
     vox_grid_extent: Tuple[int, int, int] = (128, 128, 8)
@@ -486,6 +494,7 @@ _FLAG_TABLE = [
      ["eca", "basic", "aspp", "convnext"]),
     ("voxfe_backend", "model.mm.voxfe_backend", "str",
      ["bev", "dense", "sparse"]),
+    ("bev_pallas", "model.mm.bev_pallas", "bool"),
     ("vox_grid_extent", "model.mm.vox_grid_extent", "ints"),
     ("stg2fuse_dim", "model.mm.stg2fuse_dim", "int"),
     ("output_type", "model.mm.output_type", "strs"),

@@ -131,6 +131,7 @@ class MM(nn.Module):
                     block=cfg.voxfe_block,
                     train=self.train,
                     axis_name=self.axis_name,
+                    use_pallas=cfg.bev_pallas,
                     name="vox_fe",
                 )(bev)
                 voxfeatmap = unfold(bev_out)  # tiny at the deepest scale

@@ -8,16 +8,32 @@ compute (scripts/profile_components.py, BASELINE.md r3 notes).  This kernel
 executes the ENTIRE block per batch element in VMEM:
 
     conv3x3 (9 shifted MXU matmuls over the z-folded channels)
-    -> BN affine -> relu -> per-z mask
+    -> BN affine -> relu -> mask
     -> conv3x3 -> BN affine
     -> ECA: masked global-average pool + 1D channel conv + sigmoid
-    -> attention multiply -> residual add -> relu -> per-z mask
+    -> attention multiply -> residual add -> relu -> mask
 
 so the activation crosses HBM exactly twice (one read, one write).
 
 Semantics: identical to ``sparse/bev_grid.BEVECABasicBlock`` in eval mode
 (reference ``layers/eca_block.py:13-79`` + ``models/resnet.py`` BasicBlock);
-parity-tested against the XLA path on CPU interpret and real TPU.
+parity-tested against the XLA path on CPU interpret and against a float64
+oracle on real TPU (tests/test_pallas_bev_block.py).
+
+Lowering notes (established by on-hardware bisection, r3): the original
+formulation accumulated the conv taps into a VMEM scratch and read it back
+in per-z lane slices — each piece is bit-exact in isolation on hardware,
+but COMPOSED they mis-lower (first-stage output diverged ~10% mean rel on
+TPU while CPU interpret was exact; a Mosaic scratch-RMW -> sliced-read
+scheduling hazard).  This version therefore:
+
+* accumulates the 9 conv taps in an SSA *value* (no scratch read-modify-
+  write) — only the halo pad lives in a scratch, whose store/load pattern
+  is proven exact in isolation;
+* never lane-slices activations: the per-z occupancy mask arrives
+  pre-expanded to [X, Y, Z*C] (built by XLA outside the kernel), and the
+  ECA z-fold / z-tile run as tiny MXU matmuls against a fold matrix
+  instead of slicing the channel axis.
 """
 
 from __future__ import annotations
@@ -30,58 +46,55 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _block_kernel(x_ref, m_ref, w1_ref, w2_ref, a1_ref, a2_ref, we_ref,
-                  out_ref, pad_ref, acc_ref, hb_ref, *, xdim: int,
-                  ydim: int, z: int, c: int, k_eca: int):
-    zc = z * c
+def _block_kernel(x_ref, mzc_ref, w1_ref, w2_ref, a1_ref, a2_ref, we_ref,
+                  fold_ref, cnt_ref, out_ref, pad1_ref, pad2_ref, *,
+                  xdim: int, ydim: int, z: int, c: int, k_eca: int):
     f32 = jnp.float32
 
-    m = m_ref[0]  # [X, Y, Z] bf16 occupancy
+    x = x_ref[0]                       # [X, Y, ZC] bf16 (masked input)
+    mzc = mzc_ref[0].astype(f32)       # [X, Y, ZC] expanded occupancy
 
-    def conv3x3(src, w_ref):
-        """3x3 'same' conv via 9 shifted matmuls into the shared f32
-        accumulator scratch (VMEM budget: one [X,Y,ZC] f32 buffer total)."""
+    def conv3x3(src, w_ref, pad_ref):
+        """3x3 'same' conv via 9 shifted matmuls, accumulated in an SSA
+        value (f32).  The halo pad is the only scratch (store + shifted
+        reads — bit-exact on hardware in isolation).  Each conv gets its
+        OWN pad scratch: reusing one buffer for both convs mis-computes on
+        hardware (Mosaic reorders the second overwrite before the first
+        conv's last shifted reads — a WAR hazard it does not track;
+        established by on-chip bisection, r3)."""
         pad_ref[:] = jnp.zeros_like(pad_ref)
         pad_ref[1 : xdim + 1, 1 : ydim + 1, :] = src
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+        acc = jnp.zeros((xdim, ydim, z * c), f32)
         for dy in range(3):
             for dx in range(3):
                 xs = pad_ref[dy : dy + xdim, dx : dx + ydim, :]
-                acc_ref[:] += jax.lax.dot_general(
+                acc = acc + jax.lax.dot_general(
                     xs, w_ref[dy, dx],
                     (((2,), (0,)), ((), ())),
                     preferred_element_type=f32,
                 )
+        return acc
 
-    # conv1 -> affine -> relu -> mask  (no .at[] value updates in-kernel:
-    # full-slice scatters capture empty index constants pallas rejects)
-    conv3x3(x_ref[0], w1_ref)
-    for zi in range(z):
-        sl = slice(zi * c, (zi + 1) * c)
-        s1v = a1_ref[0, sl]  # slice at the REF (mosaic: no value gathers)
-        b1v = a1_ref[1, sl]
-        h = (acc_ref[:, :, sl] * s1v[None, None, :]
-             + b1v[None, None, :])
-        h = jnp.maximum(h, 0.0) * m[:, :, zi : zi + 1].astype(f32)
-        hb_ref[:, :, sl] = h.astype(jnp.bfloat16)
+    # conv1 -> affine -> relu -> mask (full-width; a1[0]=scale, a1[1]=bias)
+    h = conv3x3(x, w1_ref, pad1_ref)
+    h = h * a1_ref[0][None, None, :] + a1_ref[1][None, None, :]
+    h = jnp.maximum(h, 0.0) * mzc
+    h = h.astype(jnp.bfloat16)
 
-    # conv2 -> affine (left in the f32 accumulator scratch, ROUNDED
-    # through bf16 so results match the XLA path bit-for-bit in spirit:
-    # there the BN output materialises as a bf16 grid before pool/attn)
-    conv3x3(hb_ref[:], w2_ref)
-    acc_ref[:] = (acc_ref[:] * a2_ref[0][None, None, :]
-                  + a2_ref[1][None, None, :]
-                  ).astype(jnp.bfloat16).astype(f32)
+    # conv2 -> affine, ROUNDED through bf16 to match the XLA path (there
+    # the BN output materialises as a bf16 grid before pool/attention)
+    g = conv3x3(h, w2_ref, pad2_ref)
+    g = (g * a2_ref[0][None, None, :] + a2_ref[1][None, None, :]
+         ).astype(jnp.bfloat16).astype(f32)
 
-    # ECA: masked global average over (x, y, z) per channel c
-    pooled = jnp.zeros((1, c), f32)
-    for zi in range(z):
-        sl = slice(zi * c, (zi + 1) * c)
-        pooled = pooled + jnp.sum(
-            acc_ref[:, :, sl] * m[:, :, zi : zi + 1].astype(f32),
-            axis=(0, 1))[None, :]
-    cnt = jnp.maximum(jnp.sum(m.astype(f32)), 1.0)
-    pooled = pooled / cnt  # [1, C]
+    # ECA: masked global average.  Sum over (x, y) full-width, then fold
+    # the z-replicated channel axis with the [ZC, C] fold matrix (z
+    # stacked identities) on the MXU — no lane slicing.
+    s_zc = jnp.sum(g * mzc, axis=(0, 1))[None, :]          # [1, ZC]
+    pooled = jax.lax.dot_general(
+        s_zc, fold_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32)                        # [1, C]
+    pooled = pooled / cnt_ref[0, 0, 0]
 
     # 1D channel conv (kernel k_eca, zero-padded) + sigmoid
     att = jnp.zeros((1, c), f32)
@@ -99,15 +112,16 @@ def _block_kernel(x_ref, m_ref, w1_ref, w2_ref, a1_ref, a2_ref, we_ref,
                 [jnp.zeros((1, -shift), f32), pooled[:, : c + shift]],
                 axis=1)
         att = att + wt * sp
-    att = jax.nn.sigmoid(att)  # [1, C]
+    att = jax.nn.sigmoid(att)                              # [1, C]
 
-    # attention multiply + residual + relu + mask, per z slice
-    for zi in range(z):
-        sl = slice(zi * c, (zi + 1) * c)
-        t = acc_ref[:, :, sl] * att[0][None, None, :]
-        t = t + x_ref[0, :, :, sl].astype(f32)
-        t = jnp.maximum(t, 0.0) * m[:, :, zi : zi + 1].astype(f32)
-        out_ref[0, :, :, sl] = t.astype(jnp.bfloat16)
+    # z-tile the attention back to [1, ZC] via the fold matrix transpose,
+    # then attention multiply + residual + relu + mask, full-width
+    att_zc = jax.lax.dot_general(
+        att, fold_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=f32)                        # [1, ZC]
+    out = g * att_zc[0][None, None, :] + x.astype(f32)
+    out = jnp.maximum(out, 0.0) * mzc
+    out_ref[0] = out.astype(jnp.bfloat16)
 
 
 def fused_eca_block(x, mask, w1, w2, scale1, bias1, scale2, bias2, w_eca,
@@ -120,16 +134,25 @@ def fused_eca_block(x, mask, w1, w2, scale1, bias1, scale2, bias2, w_eca,
     k_eca = int(w_eca.shape[0])
     a1 = jnp.stack([scale1, bias1]).astype(jnp.float32)  # [2, ZC]
     a2 = jnp.stack([scale2, bias2]).astype(jnp.float32)
-    mb = mask.astype(jnp.bfloat16)
+
+    # host-side (XLA) prep: expanded mask, per-item valid count, z-fold
+    # matrix — all cheap, fused by XLA into the surrounding graph
+    mzc = jnp.repeat(mask, c, axis=-1).astype(jnp.bfloat16)  # [B,X,Y,ZC]
+    cnt = jnp.maximum(
+        jnp.sum(mask.astype(jnp.float32), axis=(1, 2, 3)), 1.0
+    ).reshape(b, 1, 1)                                       # [B,1,1]
+    fold = jnp.tile(jnp.eye(c, dtype=jnp.float32), (z, 1))   # [ZC, C]
 
     interpret = jax.default_backend() != "tpu"  # CPU tests run interpreted
     kernel = functools.partial(_block_kernel, xdim=xdim, ydim=ydim, z=z,
                                c=c, k_eca=k_eca)
+    big = lambda: pl.BlockSpec((1, xdim, ydim, zc), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            # the stage-0 block needs ~18 MB of scoped VMEM (f32
+            # the stage-0 block needs ~20 MB of scoped VMEM (f32 value
             # accumulator + double-buffered blocks); the default scoped
             # limit is 16 MB, the hardware has more
             vmem_limit_bytes=64 * 1024 * 1024,
@@ -137,22 +160,22 @@ def fused_eca_block(x, mask, w1, w2, scale1, bias1, scale2, bias2, w_eca,
         grid=(b,),
         out_shape=jax.ShapeDtypeStruct((b, xdim, ydim, zc), jnp.bfloat16),
         in_specs=[
-            pl.BlockSpec((1, xdim, ydim, zc), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, xdim, ydim, z), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            big(),                                            # x
+            big(),                                            # mask (ZC)
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # w1
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # w2
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # a1
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # a2
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # w_eca
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # fold
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),            # cnt
         ],
-        out_specs=pl.BlockSpec((1, xdim, ydim, zc), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=big(),
         scratch_shapes=[
-            pltpu.VMEM((xdim + 2, ydim + 2, zc), jnp.bfloat16),  # halo pad
-            pltpu.VMEM((xdim, ydim, zc), jnp.float32),  # f32 accumulator
-            pltpu.VMEM((xdim, ydim, zc), jnp.bfloat16),  # conv1 output
+            pltpu.VMEM((xdim + 2, ydim + 2, zc), jnp.bfloat16),  # halo pad 1
+            pltpu.VMEM((xdim + 2, ydim + 2, zc), jnp.bfloat16),  # halo pad 2
         ],
-    )(x.astype(jnp.bfloat16), mb, w1.astype(jnp.bfloat16),
-      w2.astype(jnp.bfloat16), a1, a2, w_eca.astype(jnp.float32))
+    )(x.astype(jnp.bfloat16), mzc, w1.astype(jnp.bfloat16),
+      w2.astype(jnp.bfloat16), a1, a2, w_eca.astype(jnp.float32),
+      fold, cnt)

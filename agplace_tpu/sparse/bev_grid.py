@@ -399,11 +399,12 @@ class BEVECABasicBlock(nn.Module):
     planes: int
     train: bool = False
     axis_name: Optional[str] = None
-    # fused inference kernel (ops/pallas/bev_block.py): 2x the XLA block
-    # standalone, but measured kernel-vs-XLA outputs on REAL TPU differ by
-    # up to 5.8% relative (CPU-interpret parity is tight — a Mosaic-
-    # lowering divergence, suspected halo-padding), and the full-model
-    # speedup is nil; OFF by default until hardware parity is proven.
+    # fused inference kernel (ops/pallas/bev_block.py): ~2x the XLA block
+    # standalone.  Hardware output parity is proven (float64-oracle
+    # comparison on chip matches as tightly as the XLA path) after the r3
+    # fix of a Mosaic WAR hazard — the two convs must NOT share one halo
+    # scratch (see the kernel's module docstring).  MMConfig.bev_pallas
+    # drives this; AGPLACE_DISABLE_PALLAS=1 forces the XLA path.
     use_pallas: bool = False
 
     @nn.compact

@@ -346,7 +346,12 @@ def test_loss_gradients_and_adam_step_match(oracle_world):
     from agplace_tpu.train.step import make_train_step
 
     step = make_train_step(cfg)
-    new_state, metrics = step(state, batch)
+    # train_step donates its state argument; hand it a leaf-copy so the
+    # module-scoped fixture's buffers stay alive for later tests
+    import jax.numpy as _jnp
+
+    donatable = jax.tree_util.tree_map(_jnp.array, state)
+    new_state, metrics = step(donatable, batch)
     flax_loss = float(metrics["loss"])
 
     # grads recomputed explicitly (train_step donates its inputs)
@@ -410,9 +415,16 @@ def test_loss_gradients_and_adam_step_match(oracle_world):
         compared += 1
     assert compared > 60  # both towers' full trees
 
-    # ---- one Adam step: param groups lr (mm) / lrdb (db)
-    mm_leaves = [v for k, v in mirror.W.items() if k.startswith("mm/")]
-    db_leaves = [v for k, v in mirror.W.items() if k.startswith("db/")]
+    # ---- one Adam step: param groups lr (mm) / lrdb (db).  Run it on
+    # leaf CLONES (sharing the computed grads) — mutating the module-scoped
+    # mirror.W in place would poison later tests in this module.
+    W2 = {}
+    for k, v in mirror.W.items():
+        c = v.detach().clone().requires_grad_(True)
+        c.grad = None if v.grad is None else v.grad.clone()
+        W2[k] = c
+    mm_leaves = [v for k, v in W2.items() if k.startswith("mm/")]
+    db_leaves = [v for k, v in W2.items() if k.startswith("db/")]
     opt = torch.optim.Adam([
         {"params": mm_leaves, "lr": LR},
         {"params": db_leaves, "lr": LRDB},
@@ -422,11 +434,11 @@ def test_loss_gradients_and_adam_step_match(oracle_world):
     new_flat = _flatten({"mm": new_state.params["mm"],
                          "db": new_state.params["db"]})
     for k, v in new_flat.items():
-        tv = mirror.W[k].detach().numpy()
-        if mirror.W[k].grad is None:  # zero-grad chain: both unchanged
+        tv = W2[k].detach().numpy()
+        if W2[k].grad is None:  # zero-grad chain: both unchanged
             np.testing.assert_allclose(v, tv, rtol=1e-6, atol=1e-7)
             continue
-        g = np.abs(mirror.W[k].grad.numpy())
+        g = np.abs(W2[k].grad.numpy())
         mask = g > 1e-5  # below this Adam's 1st step is +-lr sign noise
         if mask.any():
             np.testing.assert_allclose(
