@@ -150,6 +150,16 @@ class MMConfig:
     # (BASELINE.md r3 notes).  AGPLACE_DISABLE_PALLAS=1 also forces the
     # XLA path at runtime.
     bev_pallas: bool = False
+    # Fused conv0+down0 stage-pair kernel (ops/pallas/bev_head.py): the
+    # full-resolution conv0 activation — the single biggest HBM cost of
+    # the voxel branch (1.97 ms of the 3.4 ms branch at bench shapes,
+    # BASELINE.md r3 stage profile) — never leaves VMEM.  Eval-mode TPU
+    # only; the XLA path runs elsewhere and whenever the full-res map is
+    # needed (training, num_top_down == n_stages).  Default OFF: hardware-
+    # parity-proven but measured SLOWER in the full forward (A/B in
+    # BASELINE.md r3 — the kernel serialises against the image branch
+    # XLA otherwise overlaps).
+    bev_pallas_head: bool = False
     # LiDAR clouds are flat: z extent 8 voxels (±8 m at quant 2) covers the
     # KITTI/nuScenes vertical range; xy ±128 m
     vox_grid_extent: Tuple[int, int, int] = (128, 128, 8)
@@ -495,6 +505,7 @@ _FLAG_TABLE = [
     ("voxfe_backend", "model.mm.voxfe_backend", "str",
      ["bev", "dense", "sparse"]),
     ("bev_pallas", "model.mm.bev_pallas", "bool"),
+    ("bev_pallas_head", "model.mm.bev_pallas_head", "bool"),
     ("vox_grid_extent", "model.mm.vox_grid_extent", "ints"),
     ("stg2fuse_dim", "model.mm.stg2fuse_dim", "int"),
     ("output_type", "model.mm.output_type", "strs"),

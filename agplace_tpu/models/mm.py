@@ -132,6 +132,7 @@ class MM(nn.Module):
                     train=self.train,
                     axis_name=self.axis_name,
                     use_pallas=cfg.bev_pallas,
+                    use_pallas_head=cfg.bev_pallas_head,
                     name="vox_fe",
                 )(bev)
                 voxfeatmap = unfold(bev_out)  # tiny at the deepest scale

@@ -100,6 +100,15 @@ def rasterize_from_voxels_host(sv: SparseVoxels,
     return BEVGrid(feats=feats, mask=mask, z=z, stride=sv.stride)
 
 
+def _pallas_backend_ok() -> bool:
+    """Gate for the fused Pallas paths (tests monkeypatch this to exercise
+    the fused module wiring on CPU, where the kernels run interpreted)."""
+    import os
+
+    return (not os.environ.get("AGPLACE_DISABLE_PALLAS")
+            and jax.default_backend() == "tpu")
+
+
 def _mask_bev(feats: jax.Array, mask: jax.Array, z: int) -> jax.Array:
     """Zero features at unoccupied cells (broadcast over the folded C)."""
     b, x, y, zc = feats.shape
@@ -127,6 +136,22 @@ def fold_w2_stride1(kern: jax.Array, z: int) -> jax.Array:
     for zo in range(z):
         for t in range(k):
             zi = zo + t - k // 2
+            if 0 <= zi < z:
+                w2 = w2.at[:, :, zi * cin : (zi + 1) * cin,
+                           zo * cout : (zo + 1) * cout].set(kern[:, :, t])
+    return w2
+
+
+def fold_w2_k2s2(kern: jax.Array, z: int) -> jax.Array:
+    """[2,2,2,cin,cout] 3D kernel -> [2,2,z*cin,ceil(z/2)*cout] block 2D
+    kernel for the k=2 stride-2 fold (z_in = 2*z_out + t), shared by
+    BEVConv and the fused Pallas head (ops/pallas/bev_head.py)."""
+    cin, cout = kern.shape[3], kern.shape[4]
+    z_out = (z + 1) // 2
+    w2 = jnp.zeros((2, 2, z * cin, z_out * cout), kern.dtype)
+    for zo in range(z_out):
+        for t in range(2):
+            zi = 2 * zo + t
             if 0 <= zi < z:
                 w2 = w2.at[:, :, zi * cin : (zi + 1) * cin,
                            zo * cout : (zo + 1) * cout].set(kern[:, :, t])
@@ -424,12 +449,9 @@ class BEVECABasicBlock(nn.Module):
         # unfused block is elementwise-bandwidth-bound (~1.74 ms at the
         # bench stage-0 shapes vs 0.88 ms fused); eval-mode TPU only —
         # training and CPU run the XLA path below (parity-tested).
-        import os
-
         if (self.use_pallas and not self.train and not need_ds
                 and not self.is_initializing()
-                and not os.environ.get("AGPLACE_DISABLE_PALLAS")
-                and jax.default_backend() == "tpu"):
+                and _pallas_backend_ok()):
             from agplace_tpu.ops.pallas.bev_block import fused_eca_block
 
             w1f = fold_w2_stride1(k1, g.z)
@@ -584,12 +606,24 @@ class BEVMinkFPN(nn.Module):
     train: bool = False
     axis_name: Optional[str] = None
     use_pallas: bool = False  # fused eval block kernel (see BEVECABasicBlock)
+    # fused conv0+down0 stage-pair kernel (ops/pallas/bev_head.py): the
+    # full-resolution conv0 activation never touches HBM.  Eval-mode TPU
+    # only; gated off whenever the full-res map is needed as a lateral.
+    use_pallas_head: bool = False
 
     @nn.compact
     def __call__(self, g: BEVGrid):
         assert 0 <= self.num_top_down <= len(self.layers)
         block_cls = _BEV_BLOCKS[self.block]
         n_stages = len(self.planes)
+
+        fuse_head = (
+            self.use_pallas_head and not self.train
+            and not self.is_initializing()
+            and self.num_top_down < n_stages  # full-res g is not a lateral
+            and self.conv0_kernel_size in (3, 5)
+            and g.feats.shape[1] % 2 == 0 and g.feats.shape[2] % 2 == 0
+            and _pallas_backend_ok())
 
         def bn(name):
             # trunk BNs are always followed by an explicit relu+mask pass;
@@ -598,20 +632,45 @@ class BEVMinkFPN(nn.Module):
                                 axis_name=self.axis_name, name=name,
                                 mask_output=False)
 
-        g = BEVConv(self.planes[0], kernel_size=self.conv0_kernel_size,
-                    mask_output=False, name="conv0")(g)
-        g = bn("bn0")(g)
-        g = g.replace(feats=_mask_bev(nn.relu(g.feats), g.mask, g.z))
+        if fuse_head:
+            # same parameter tree as the unfused path: holder modules
+            # declare conv0/bn0/down0/down_bn0 under identical scopes
+            from agplace_tpu.ops.pallas.bev_head import fused_head
+
+            z0 = g.z
+            k0p = _ConvParam(self.conv0_kernel_size, g.channels,
+                             self.planes[0], name="conv0")()
+            bn0p = _BNParam(self.planes[0], name="bn0")()
+            kdp = _ConvParam(2, self.planes[0], self.planes[0],
+                             name="down0")()
+            bndp = _BNParam(self.planes[0], name="down_bn0")()
+            w0 = fold_w2_stride1(k0p, z0)
+            wd = fold_w2_k2s2(kdp, z0)
+            s0, b0 = _bn_eval_affine(bn0p, z0)
+            sd, bd = _bn_eval_affine(bndp, (z0 + 1) // 2)
+            feats, mask = fused_head(g.feats, g.mask, w0, s0, b0, wd, sd,
+                                     bd, z=z0)
+            g = BEVGrid(feats=feats.astype(g.feats.dtype), mask=mask,
+                        z=(z0 + 1) // 2, stride=g.stride * 2)
+        else:
+            g = BEVConv(self.planes[0], kernel_size=self.conv0_kernel_size,
+                        mask_output=False, name="conv0")(g)
+            g = bn("bn0")(g)
+            g = g.replace(feats=_mask_bev(nn.relu(g.feats), g.mask, g.z))
 
         laterals = []
         if self.num_top_down == n_stages:
             laterals.append(g)
         out_maps = []
         for i in range(n_stages):
-            g = BEVConv(g.channels, kernel_size=2, stride=2,
-                        mask_output=False, name=f"down{i}")(g)
-            g = bn(f"down_bn{i}")(g)
-            g = g.replace(feats=_mask_bev(nn.relu(g.feats), g.mask, g.z))
+            if fuse_head and i == 0:
+                pass  # conv0+down0 already fused above
+            else:
+                g = BEVConv(g.channels, kernel_size=2, stride=2,
+                            mask_output=False, name=f"down{i}")(g)
+                g = bn(f"down_bn{i}")(g)
+                g = g.replace(
+                    feats=_mask_bev(nn.relu(g.feats), g.mask, g.z))
             for b in range(self.layers[i]):
                 kw = ({"use_pallas": self.use_pallas}
                       if block_cls is BEVECABasicBlock else {})
