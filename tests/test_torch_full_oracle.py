@@ -494,3 +494,71 @@ def test_sare_criteria_match_torch(oracle_world, criterion):
         jfeats, batch["triplets_local"], cfg.train.train_batch_size,
         cfg.train.negs_num_per_query, joint=criterion == "sare_joint"))
     assert abs(got - float(want)) < 2e-5 * max(1.0, abs(float(want)))
+
+
+def test_training_trajectory_matches():
+    """Multi-step extension of the one-step oracle: K real optimisation
+    steps over K DIFFERENT mined batches, torch (mirror + torch Adam param
+    groups) vs the jitted ``make_train_step`` threading its own state.
+    Catches what the one-step test cannot: optimizer-state (m/v) threading
+    across steps, state donation reuse, and param-group drift compounding.
+    Tolerances widen per step — Adam's update on near-zero gradients is
+    +-lr sign noise that both frameworks resolve independently, and that
+    noise compounds through later forwards."""
+    K = 4
+    cfg = _cfg()
+    ds = SyntheticDataset(n_db=8, n_q=6, image_size=32, n_points=64, seed=0)
+    miner = TripletMiner(cfg, ds)
+    batches = []
+    for k in range(K):
+        rng = np.random.default_rng(100 + k)
+        rows = miner.mine_random(rng, cfg.train.train_batch_size)
+        batches.append(collate_train(ds, rows, cfg, rng))
+
+    state = init_state(cfg, jax.random.PRNGKey(0), batches[0])
+    flat = _flatten({"mm": state.params["mm"], "db": state.params["db"]})
+    W = {k: torch.tensor(v, dtype=torch.float32, requires_grad=True)
+         for k, v in flat.items()}
+    mirror = TorchMirror(W, cfg)
+    opt = torch.optim.Adam([
+        {"params": [v for k, v in W.items() if k.startswith("mm/")],
+         "lr": LR},
+        {"params": [v for k, v in W.items() if k.startswith("db/")],
+         "lr": LRDB},
+    ], betas=(0.9, 0.999), eps=1e-8)
+
+    step = make_train_step(cfg)
+    import jax.numpy as jnp
+
+    state = jax.tree_util.tree_map(jnp.array, state)  # donatable copy
+    rels = []
+    for k, batch in enumerate(batches):
+        opt.zero_grad()
+        t_loss, _, _ = mirror.total_loss(batch)
+        t_loss.backward()
+        opt.step()
+        state, metrics = step(state, batch)
+        j_loss = float(metrics["loss"])
+        rel = abs(j_loss - float(t_loss)) / max(1.0, abs(float(t_loss)))
+        rels.append(rel)
+        assert rel < 2e-4 * (4.0 ** k), (
+            f"step {k}: flax loss {j_loss} vs torch {float(t_loss)} "
+            f"(rel {rel:.2e}; trajectory so far {rels})")
+
+    # after K steps the towers still agree on a probe forward
+    from agplace_tpu.train.step import build_models
+    from agplace_tpu.models.factory import query_apply
+
+    mm, _ = build_models(cfg, train=True)
+    probe = batches[0]
+    mm_out, _ = query_apply(
+        "mm", mm, {"params": state.params["mm"],
+                   "batch_stats": state.batch_stats["mm"]},
+        probe["query_image"], probe["vox"], mutable=True)
+    with torch.no_grad():
+        _, t_mm, _ = mirror.total_loss(probe)
+    a = np.asarray(mm_out["embedding"], np.float64)
+    b = t_mm["embedding"].numpy().astype(np.float64)
+    cos = (a * b).sum(-1) / np.maximum(
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1), 1e-12)
+    assert cos.min() > 0.999, (cos, np.abs(a - b).max())
