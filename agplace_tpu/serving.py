@@ -30,13 +30,24 @@ class PlaceIndex:
     """Two-tower serving index: embeds queries with the trained MM tower and
     searches a device-resident gallery of aerial-tile descriptors."""
 
-    def __init__(self, cfg: Config, params, batch_stats, gallery_mesh=None):
+    def __init__(self, cfg: Config, params, batch_stats, gallery_mesh=None,
+                 quant: Optional[str] = None):
         from agplace_tpu.train.step import make_infer_fns
 
+        if quant not in (None, "int8"):
+            raise ValueError(f"unsupported quant mode {quant!r}")
         self.cfg = cfg
         self.params = params
         self.batch_stats = batch_stats
         self.gallery_mesh = gallery_mesh
+        # quant='int8': device gallery stored per-row int8 (4x less HBM
+        # per scan, int8 MXU cross term); searches run an approximate
+        # candidate pass on device then an EXACT fp32 re-rank on the host
+        # copy, so returned (distance, index) pairs match the fp32 path
+        # whenever the true top-k survives the 4x-oversampled candidate
+        # set.  Beyond-parity serving feature; sharded galleries keep the
+        # exact fp32 path (quant ignored there).
+        self.quant = quant
         self._embed_q, self._embed_db = make_infer_fns(cfg)
         # adds append to a cheap host buffer; the device-resident (and,
         # with a gallery mesh, sharded) copy is built lazily ONCE on the
@@ -44,6 +55,7 @@ class PlaceIndex:
         # index at 100k+ rows must not re-upload per query (VERDICT r2 #6)
         self._parts: list = []  # host-side np [n_i, C] append buffer
         self._gallery: Optional[jax.Array] = None  # device-resident [N, C]
+        self._quant_gallery = None  # (int8 rows, scales, sq norms) on device
         self._dirty = False
         self._n_rows = 0
         self.upload_count = 0  # host->device gallery builds (observability)
@@ -51,7 +63,8 @@ class PlaceIndex:
     # -- construction -------------------------------------------------------
     @classmethod
     def from_checkpoint(cls, cfg: Config, save_dir: str, name: str,
-                        sample_batch=None, gallery_mesh=None) -> "PlaceIndex":
+                        sample_batch=None, gallery_mesh=None,
+                        quant: Optional[str] = None) -> "PlaceIndex":
         """Restore a trained state (``ep@N__r1@R`` / ``best_model``) and
         build an index.  ``sample_batch``: any collated train batch for the
         restore template; built from a synthetic world when omitted."""
@@ -73,7 +86,7 @@ class PlaceIndex:
         template = init_state(cfg, jax.random.PRNGKey(0), sample_batch)
         state, _ = CheckpointManager(save_dir).restore(name, template)
         return cls(cfg, state.params, state.batch_stats,
-                   gallery_mesh=gallery_mesh)
+                   gallery_mesh=gallery_mesh, quant=quant)
 
     # -- gallery ------------------------------------------------------------
     def add_tiles(self, ds, indices: Optional[Sequence[int]] = None) -> int:
@@ -94,25 +107,46 @@ class PlaceIndex:
         self._dirty = True
         return self._n_rows
 
+    def _host_gallery(self) -> np.ndarray:
+        """Consolidated host-side fp32 gallery (also the exact re-rank
+        source for the int8 path)."""
+        assert self._parts, "empty index: add tiles first"
+        if len(self._parts) > 1:
+            self._parts = [np.concatenate(self._parts)]
+        return self._parts[0]
+
     def _device_gallery(self) -> jax.Array:
         """The device-resident gallery, (re)built only when adds happened
         since the last search.  With a multi-device gallery mesh the rows
         are sharded over the ``gallery`` axis at build time, so repeated
         searches do zero host->device gallery transfers."""
         if self._dirty or self._gallery is None:
-            assert self._parts, "empty index: add tiles first"
-            host = (self._parts[0] if len(self._parts) == 1
-                    else np.concatenate(self._parts))
-            self._parts = [host]  # keep one consolidated host copy
+            host = self._host_gallery()
             if self._sharded():
                 from agplace_tpu.retrieval.sharded import shard_gallery
 
                 self._gallery = shard_gallery(self.gallery_mesh, host)
             else:
                 self._gallery = jnp.asarray(host)
+            self._quant_gallery = None  # rebuilt lazily on the quant path
             self.upload_count += 1
             self._dirty = False
         return self._gallery
+
+    def _device_gallery_int8(self):
+        """Device-resident (int8 rows, [N,1] scales, [N] exact sq norms),
+        built lazily like the fp32 gallery.  ~4x less HBM than fp32 rows;
+        the scales/norms are negligible."""
+        from agplace_tpu.retrieval.knn import quantize_rows
+
+        if self._dirty or self._quant_gallery is None:
+            q, scale, sq = quantize_rows(self._host_gallery())
+            self._quant_gallery = (
+                jnp.asarray(q), jnp.asarray(scale), jnp.asarray(sq))
+            self._gallery = None  # fp32 device copy not needed in quant mode
+            self.upload_count += 1
+            self._dirty = False
+        return self._quant_gallery
 
     def _sharded(self) -> bool:
         return (self.gallery_mesh is not None
@@ -161,6 +195,8 @@ class PlaceIndex:
                            ) -> Tuple[np.ndarray, np.ndarray]:
         from agplace_tpu.retrieval.knn import l2_topk_blocked
 
+        if self.quant == "int8" and not self._sharded():
+            return self._search_int8(np.asarray(q_feats, np.float32), k)
         if self._sharded() and k <= self._n_rows:
             from agplace_tpu.retrieval.sharded import sharded_l2_topk
 
@@ -175,3 +211,35 @@ class PlaceIndex:
             db = self._device_gallery()
         d, i = l2_topk_blocked(np.asarray(q_feats), db, k)
         return np.asarray(d), np.asarray(i)
+
+    def _search_int8(self, q: np.ndarray, k: int
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+        """int8 candidate scan on device + exact fp32 re-rank on the host
+        gallery copy.  Matches ``l2_topk`` faiss semantics, including the
+        +inf/-1 padding for k > ntotal."""
+        from agplace_tpu.retrieval.knn import l2_candidates_int8
+
+        kk = min(k, self._n_rows)
+        # 4x oversampling (min 16) absorbs cross-term rounding; candidate
+        # misses need two descriptors within ~1/127 of each other AND
+        # outside the margin, which exact re-rank then cannot fix — the
+        # parity test pins this on realistic L2-normalised descriptors.
+        nc = min(max(4 * kk, 16), self._n_rows)
+        db_i8, scale, sq = self._device_gallery_int8()
+        _, cand = l2_candidates_int8(jnp.asarray(q), db_i8, scale, sq, nc)
+        cand = np.asarray(cand)  # [Q, nc]
+        host = self._host_gallery()
+        rows = host[cand]  # [Q, nc, C] exact fp32 re-rank set
+        d2 = np.maximum(
+            np.einsum("qc,qc->q", q, q)[:, None]
+            + np.einsum("qnc,qnc->qn", rows, rows)
+            - 2.0 * np.einsum("qc,qnc->qn", q, rows), 0.0)
+        order = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+        d = np.take_along_axis(d2, order, axis=1).astype(np.float32)
+        i = np.take_along_axis(cand, order, axis=1).astype(np.int64)
+        if kk < k:  # faiss k > ntotal padding
+            pad_d = np.full((q.shape[0], k - kk), np.inf, np.float32)
+            pad_i = np.full((q.shape[0], k - kk), -1, np.int64)
+            d = np.concatenate([d, pad_d], axis=1)
+            i = np.concatenate([i, pad_i], axis=1)
+        return d, i

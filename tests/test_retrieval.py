@@ -104,3 +104,39 @@ def test_l2_topk_k_exceeds_gallery():
     # the real 3 results are still exact
     d_ref, i_ref = l2_topk(q, db, 3)
     np.testing.assert_array_equal(np.asarray(i)[:, :3], np.asarray(i_ref))
+
+
+def test_quantize_rows_bounds():
+    from agplace_tpu.retrieval.knn import quantize_rows
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((64, 32)).astype(np.float32) * 3.0
+    q, scale, sq = quantize_rows(x)
+    assert q.dtype == np.int8 and np.abs(q).max() <= 127
+    # per-row reconstruction error bounded by half a quantization step
+    err = np.abs(q.astype(np.float32) * scale - x)
+    assert (err <= 0.5 * scale + 1e-7).all()
+    # norms are exact (computed from the fp32 rows, not the int8 ones)
+    np.testing.assert_allclose(sq, (x * x).sum(1), rtol=1e-6)
+
+
+def test_int8_candidates_contain_true_topk():
+    """The approximate int8 candidate set must contain the exact top-k on
+    realistic (L2-normalised) descriptors — the guarantee the serving
+    re-rank relies on."""
+    from agplace_tpu.retrieval.knn import l2_candidates_int8, quantize_rows
+
+    rng = np.random.default_rng(11)
+    db = rng.standard_normal((512, 64)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    q = rng.standard_normal((32, 64)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    k = 5
+    _, exact = _brute_topk(q, db, k)
+    dbq, scale, sq = quantize_rows(db)
+    _, cand = l2_candidates_int8(
+        jnp.asarray(q), jnp.asarray(dbq), jnp.asarray(scale),
+        jnp.asarray(sq), 4 * k)
+    cand = np.asarray(cand)
+    for r in range(q.shape[0]):
+        assert set(exact[r]) <= set(cand[r]), (r, exact[r], cand[r])

@@ -124,3 +124,34 @@ def test_index_gallery_stays_device_resident(trained):
         idx.search_descriptors(q, k=4)
         assert idx.upload_count == 2
         assert len(idx) == ds.database_num + 2
+
+
+def test_index_int8_matches_fp32(trained):
+    """quant='int8' returns the same neighbours and exact fp32 distances
+    as the full-precision path (device int8 candidate scan + host exact
+    re-rank), keeps the device gallery resident across searches, and
+    honours the faiss k > ntotal padding."""
+    cfg, save_dir, ds = trained
+    idx32 = PlaceIndex.from_checkpoint(cfg, save_dir, "best_model")
+    idx8 = PlaceIndex.from_checkpoint(cfg, save_dir, "best_model",
+                                      quant="int8")
+    idx32.add_tiles(ds)
+    idx8.add_tiles(ds)
+    q = np.random.default_rng(5).standard_normal(
+        (6, cfg.model.features_dim)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    d32, i32 = idx32.search_descriptors(q, k=4)
+    d8, i8 = idx8.search_descriptors(q, k=4)
+    np.testing.assert_array_equal(i32, i8)
+    np.testing.assert_allclose(d32, d8, rtol=1e-4, atol=1e-5)
+
+    # device-resident across repeated searches
+    for _ in range(3):
+        idx8.search_descriptors(q, k=4)
+    assert idx8.upload_count == 1
+
+    # k > ntotal: +inf / -1 padding like faiss (and the fp32 path)
+    n = len(idx8)
+    d, i = idx8.search_descriptors(q, k=n + 3)
+    assert (i[:, n:] == -1).all() and np.isinf(d[:, n:]).all()
+    np.testing.assert_array_equal(i[:, :4], i8)
