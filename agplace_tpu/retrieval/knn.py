@@ -111,11 +111,12 @@ def l2_candidates_int8(queries: jax.Array, db_i8: jax.Array,
 
     The fp32 queries are quantized per row on device; the cross term runs
     as an int8xint8->int32 matmul (MXU native on v5e), then rescales to
-    fp32.  ``db_sq`` holds the exact fp32 gallery norms from
-    ``quantize_rows``, so the approximation error is bounded by the two
-    rounding steps of the cross term only.  Returns approximate
-    ``(sq_distances [Q, nc], indices [Q, nc])`` — feed the indices to an
-    exact re-rank (``PlaceIndex.search_descriptors``) for final ordering.
+    fp32.  ``db_scale`` is the per-row [N] scale vector and ``db_sq`` the
+    exact fp32 gallery norms from ``quantize_rows``, so the approximation
+    error is bounded by the two rounding steps of the cross term only.
+    Returns approximate ``(sq_distances [Q, nc], indices [Q, nc])`` — feed
+    the indices to an exact re-rank (``PlaceIndex.search_descriptors``)
+    for final ordering.
     """
     q = queries.astype(jnp.float32)
     q_sq = jnp.sum(q * q, axis=1, keepdims=True)
@@ -125,7 +126,7 @@ def l2_candidates_int8(queries: jax.Array, db_i8: jax.Array,
         q_i8, db_i8, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     ).astype(jnp.float32)
-    cross = cross * qs * db_scale[:, 0][None, :]
+    cross = cross * qs * db_scale[None, :]
     d2 = jnp.maximum(q_sq + db_sq[None, :] - 2.0 * cross, 0.0)
     neg, idx = jax.lax.top_k(-d2, nc)
     return -neg, idx

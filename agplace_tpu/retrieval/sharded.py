@@ -38,6 +38,85 @@ def shard_gallery(mesh: Mesh, database, axis: str = "gallery"):
     return jax.device_put(jnp.asarray(db), sharding)
 
 
+def shard_quant_gallery(mesh: Mesh, database, axis: str = "gallery"):
+    """int8 variant of :func:`shard_gallery`: per-row quantize the fp32
+    gallery (``knn.quantize_rows``), then shard (int8 rows, scales, exact
+    norms) over ``axis``.  4x more gallery rows per chip than fp32.
+
+    Row-count padding uses a large-magnitude sentinel (1e9 per component)
+    whose exact squared norm dwarfs any real distance, so sentinel rows
+    can never displace a real candidate in a top-k merge.
+    """
+    import numpy as np
+
+    from agplace_tpu.retrieval.knn import quantize_rows
+
+    db = np.asarray(database, np.float32)
+    n_shards = mesh.shape[axis]
+    rem = (-len(db)) % n_shards
+    if rem:
+        db = np.concatenate(
+            [db, np.full((rem, db.shape[1]), 1e9, np.float32)])
+    q, scale, sq = quantize_rows(db)
+    rows = jax.device_put(jnp.asarray(q), NamedSharding(mesh, P(axis, None)))
+    sc = jax.device_put(jnp.asarray(scale[:, 0]),
+                        NamedSharding(mesh, P(axis)))
+    nn = jax.device_put(jnp.asarray(sq), NamedSharding(mesh, P(axis)))
+    return rows, sc, nn
+
+
+def sharded_l2_candidates_int8(mesh: Mesh, queries, quant_gallery, nc: int,
+                               axis: str = "gallery"
+                               ) -> Tuple[jax.Array, jax.Array]:
+    """Approximate global top-``nc`` L2 candidates over an int8 gallery
+    sharded on ``axis`` (from :func:`shard_quant_gallery`).
+
+    Same collective shape as :func:`sharded_l2_topk` — per-shard int8
+    cross-term scan + local top-k, one [Q, nc*shards] all-gather on ICI,
+    global merge — with the int8 approximation confined to the cross
+    term (norms are exact fp32).  Feed the indices to an exact re-rank
+    (``PlaceIndex._search_int8``) for final ordering.
+    """
+    db_i8, scale, sq = quant_gallery
+    n_shards = mesh.shape[axis]
+    shard_rows = db_i8.shape[0] // n_shards
+    nc_local = min(nc, shard_rows)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def search(q, i8_local, sc_local, sq_local):
+        q = q.astype(jnp.float32)
+        q_sq = jnp.sum(q * q, axis=1, keepdims=True)
+        qs = jnp.maximum(jnp.max(jnp.abs(q), axis=1, keepdims=True),
+                         1e-12) / 127.0
+        q_i8 = jnp.clip(jnp.round(q / qs), -127, 127).astype(jnp.int8)
+        cross = jax.lax.dot_general(
+            q_i8, i8_local, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        cross = cross * qs * sc_local[None, :]
+        d2 = jnp.maximum(q_sq + sq_local[None, :] - 2.0 * cross, 0.0)
+        neg, idx = jax.lax.top_k(-d2, nc_local)
+        my_shard = jax.lax.axis_index(axis)
+        gidx = idx + my_shard * shard_rows
+        all_neg = jax.lax.all_gather(neg, axis)
+        all_idx = jax.lax.all_gather(gidx, axis)
+        q_n = q.shape[0]
+        cand_d = jnp.transpose(all_neg, (1, 0, 2)).reshape(q_n, -1)
+        cand_i = jnp.transpose(all_idx, (1, 0, 2)).reshape(q_n, -1)
+        take = min(nc, cand_d.shape[1])
+        best_neg, slot = jax.lax.top_k(cand_d, take)
+        best_idx = jnp.take_along_axis(cand_i, slot, axis=1)
+        return -best_neg, best_idx
+
+    return search(queries, db_i8, scale, sq)
+
+
 def sharded_l2_topk(mesh: Mesh, queries, database_sharded, k: int,
                     axis: str = "gallery") -> Tuple[jax.Array, jax.Array]:
     """Exact global top-k over a gallery sharded on ``axis``.

@@ -134,15 +134,24 @@ class PlaceIndex:
         return self._gallery
 
     def _device_gallery_int8(self):
-        """Device-resident (int8 rows, [N,1] scales, [N] exact sq norms),
-        built lazily like the fp32 gallery.  ~4x less HBM than fp32 rows;
-        the scales/norms are negligible."""
+        """Device-resident (int8 rows, scales, exact sq norms), built
+        lazily like the fp32 gallery; sharded over the ``gallery`` axis
+        when a mesh is set.  ~4x less HBM than fp32 rows; the
+        scales/norms are negligible."""
         from agplace_tpu.retrieval.knn import quantize_rows
 
         if self._dirty or self._quant_gallery is None:
-            q, scale, sq = quantize_rows(self._host_gallery())
-            self._quant_gallery = (
-                jnp.asarray(q), jnp.asarray(scale), jnp.asarray(sq))
+            host = self._host_gallery()
+            if self._sharded():
+                from agplace_tpu.retrieval.sharded import shard_quant_gallery
+
+                self._quant_gallery = shard_quant_gallery(
+                    self.gallery_mesh, host)
+            else:
+                q, scale, sq = quantize_rows(host)
+                self._quant_gallery = (
+                    jnp.asarray(q), jnp.asarray(scale[:, 0]),
+                    jnp.asarray(sq))
             self._gallery = None  # fp32 device copy not needed in quant mode
             self.upload_count += 1
             self._dirty = False
@@ -195,7 +204,7 @@ class PlaceIndex:
                            ) -> Tuple[np.ndarray, np.ndarray]:
         from agplace_tpu.retrieval.knn import l2_topk_blocked
 
-        if self.quant == "int8" and not self._sharded():
+        if self.quant == "int8":
             return self._search_int8(np.asarray(q_feats, np.float32), k)
         if self._sharded() and k <= self._n_rows:
             from agplace_tpu.retrieval.sharded import sharded_l2_topk
@@ -225,18 +234,33 @@ class PlaceIndex:
         # outside the margin, which exact re-rank then cannot fix — the
         # parity test pins this on realistic L2-normalised descriptors.
         nc = min(max(4 * kk, 16), self._n_rows)
-        db_i8, scale, sq = self._device_gallery_int8()
-        _, cand = l2_candidates_int8(jnp.asarray(q), db_i8, scale, sq, nc)
-        cand = np.asarray(cand)  # [Q, nc]
+        quant_gal = self._device_gallery_int8()
+        if self._sharded():
+            from agplace_tpu.retrieval.sharded import (
+                sharded_l2_candidates_int8)
+
+            _, cand = sharded_l2_candidates_int8(
+                self.gallery_mesh, jnp.asarray(q), quant_gal, nc)
+        else:
+            db_i8, scale, sq = quant_gal
+            _, cand = l2_candidates_int8(
+                jnp.asarray(q), db_i8, scale, sq, nc)
+        cand = np.asarray(cand)[:, :nc]  # [Q, nc]
         host = self._host_gallery()
-        rows = host[cand]  # [Q, nc, C] exact fp32 re-rank set
+        # sharded galleries are row-padded with huge-norm sentinels; a
+        # sentinel index can only appear when a shard has fewer real rows
+        # than its local top-k — mask it out of the exact re-rank
+        valid = cand < self._n_rows
+        rows = host[np.where(valid, cand, 0)]  # [Q, nc, C] re-rank set
         d2 = np.maximum(
             np.einsum("qc,qc->q", q, q)[:, None]
             + np.einsum("qnc,qnc->qn", rows, rows)
             - 2.0 * np.einsum("qc,qnc->qn", q, rows), 0.0)
+        d2 = np.where(valid, d2, np.inf)
         order = np.argsort(d2, axis=1, kind="stable")[:, :kk]
         d = np.take_along_axis(d2, order, axis=1).astype(np.float32)
         i = np.take_along_axis(cand, order, axis=1).astype(np.int64)
+        i = np.where(np.isinf(d), -1, i)  # masked sentinels, if any
         if kk < k:  # faiss k > ntotal padding
             pad_d = np.full((q.shape[0], k - kk), np.inf, np.float32)
             pad_i = np.full((q.shape[0], k - kk), -1, np.int64)

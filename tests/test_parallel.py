@@ -103,3 +103,29 @@ def test_bootstrap_single_process_noop(monkeypatch):
     d, i = sharded_l2_topk(mesh, jnp.asarray(q), db_sh, k=3)
     d_ref, i_ref = l2_topk(jnp.asarray(q), jnp.asarray(db), 3)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_sharded_int8_candidates_contain_true_topk():
+    """Sharded int8 candidate scan (shard_quant_gallery +
+    sharded_l2_candidates_int8) over the 8-way virtual mesh: the merged
+    candidate set must contain the exact top-k, with sentinel padding
+    rows (1000 is not 8-divisible) never displacing a real candidate."""
+    from agplace_tpu.retrieval.sharded import (
+        shard_quant_gallery, sharded_l2_candidates_int8)
+
+    rng = np.random.default_rng(3)
+    db = rng.standard_normal((1000, 64)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    q = rng.standard_normal((16, 64)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    k = 5
+    mesh = make_mesh(MeshConfig(data_parallel=1, gallery_parallel=8))
+    qgal = shard_quant_gallery(mesh, db)
+    assert qgal[0].dtype == jnp.int8
+    _, cand = sharded_l2_candidates_int8(mesh, jnp.asarray(q), qgal, 4 * k)
+    cand = np.asarray(cand)
+    _, i_ref = l2_topk(jnp.asarray(q), jnp.asarray(db), k)
+    i_ref = np.asarray(i_ref)
+    assert (cand < 1000).all()  # sentinels never make the merged top-nc
+    for r in range(q.shape[0]):
+        assert set(i_ref[r]) <= set(cand[r]), r

@@ -135,7 +135,7 @@ def test_int8_candidates_contain_true_topk():
     _, exact = _brute_topk(q, db, k)
     dbq, scale, sq = quantize_rows(db)
     _, cand = l2_candidates_int8(
-        jnp.asarray(q), jnp.asarray(dbq), jnp.asarray(scale),
+        jnp.asarray(q), jnp.asarray(dbq), jnp.asarray(scale[:, 0]),
         jnp.asarray(sq), 4 * k)
     cand = np.asarray(cand)
     for r in range(q.shape[0]):

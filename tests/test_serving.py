@@ -155,3 +155,29 @@ def test_index_int8_matches_fp32(trained):
     d, i = idx8.search_descriptors(q, k=n + 3)
     assert (i[:, n:] == -1).all() and np.isinf(d[:, n:]).all()
     np.testing.assert_array_equal(i[:, :4], i8)
+
+
+def test_index_int8_sharded_matches_fp32(trained):
+    """quant='int8' with a 2-way gallery mesh: the sharded int8 candidate
+    scan + host re-rank returns the same results as the unsharded fp32
+    index."""
+    from agplace_tpu.parallel.mesh import make_mesh
+
+    cfg, save_dir, ds = trained
+    gmesh = make_mesh(MeshConfig(data_parallel=1, gallery_parallel=2),
+                      devices=jax.devices()[:2])
+    idx32 = PlaceIndex.from_checkpoint(cfg, save_dir, "best_model")
+    idx8 = PlaceIndex.from_checkpoint(cfg, save_dir, "best_model",
+                                      gallery_mesh=gmesh, quant="int8")
+    idx32.add_tiles(ds)
+    idx8.add_tiles(ds)
+    q = np.random.default_rng(9).standard_normal(
+        (6, cfg.model.features_dim)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    d32, i32 = idx32.search_descriptors(q, k=4)
+    d8, i8 = idx8.search_descriptors(q, k=4)
+    np.testing.assert_array_equal(i32, i8)
+    np.testing.assert_allclose(d32, d8, rtol=1e-4, atol=1e-5)
+    for _ in range(2):
+        idx8.search_descriptors(q, k=4)
+    assert idx8.upload_count == 1
