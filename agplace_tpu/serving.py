@@ -45,15 +45,22 @@ class PlaceIndex:
         # candidate pass on device then an EXACT fp32 re-rank on the host
         # copy, so returned (distance, index) pairs match the fp32 path
         # whenever the true top-k survives the 4x-oversampled candidate
-        # set.  Beyond-parity serving feature; sharded galleries keep the
-        # exact fp32 path (quant ignored there).
+        # set.  Beyond-parity serving feature; with a gallery mesh the
+        # candidate scan itself shards over the ``gallery`` axis
+        # (``sharded_l2_candidates_int8``) for 4x rows per chip.
         self.quant = quant
-        self._embed_q, self._embed_db = make_infer_fns(cfg)
+        # params=None builds a search-only index (no query tower): a
+        # searcher node serving a saved gallery needs no model weights.
+        if params is None:
+            self._embed_q = self._embed_db = None
+        else:
+            self._embed_q, self._embed_db = make_infer_fns(cfg)
         # adds append to a cheap host buffer; the device-resident (and,
         # with a gallery mesh, sharded) copy is built lazily ONCE on the
         # next search and reused until the gallery changes — a long-lived
         # index at 100k+ rows must not re-upload per query (VERDICT r2 #6)
         self._parts: list = []  # host-side np [n_i, C] append buffer
+        self._pos_parts: list = []  # [n_i, 2] UTM east/north (or None)
         self._gallery: Optional[jax.Array] = None  # device-resident [N, C]
         self._quant_gallery = None  # (int8 rows, scales, sq norms) on device
         self._dirty = False
@@ -94,18 +101,42 @@ class PlaceIndex:
         the gallery.  Returns the new gallery size."""
         from agplace_tpu.embed import batched_embed_db
 
+        assert self._embed_db is not None, "search-only index has no tower"
         idx = list(indices if indices is not None
                    else range(ds.database_num))
         feats = batched_embed_db(ds, idx, self._embed_db, self.params,
                                  self.batch_stats,
                                  self.cfg.train.infer_batch_size)
-        return self.add_descriptors(feats)
+        pos = getattr(ds, "db_eastnorth", None)
+        if pos is not None:
+            pos = np.asarray(pos, np.float64)[idx]
+        return self.add_descriptors(feats, positions=pos)
 
-    def add_descriptors(self, feats: np.ndarray) -> int:
-        self._parts.append(np.asarray(feats, np.float32))
-        self._n_rows += int(self._parts[-1].shape[0])
+    def add_descriptors(self, feats: np.ndarray,
+                        positions: Optional[np.ndarray] = None) -> int:
+        """Append [n, C] descriptors (and optional [n, 2] UTM east/north
+        tile positions, enabling :meth:`locate`)."""
+        feats = np.asarray(feats, np.float32)
+        if positions is not None:
+            positions = np.asarray(positions, np.float64)
+            if positions.shape != (feats.shape[0], 2):
+                raise ValueError(
+                    f"positions {positions.shape} != ({feats.shape[0]}, 2)")
+        self._parts.append(feats)
+        self._pos_parts.append(positions)
+        self._n_rows += int(feats.shape[0])
         self._dirty = True
         return self._n_rows
+
+    @property
+    def positions(self) -> Optional[np.ndarray]:
+        """[N, 2] UTM east/north per gallery row, or None if any part was
+        added without positions."""
+        if not self._pos_parts or any(p is None for p in self._pos_parts):
+            return None
+        if len(self._pos_parts) > 1:
+            self._pos_parts = [np.concatenate(self._pos_parts)]
+        return self._pos_parts[0]
 
     def _host_gallery(self) -> np.ndarray:
         """Consolidated host-side fp32 gallery (also the exact re-rank
@@ -164,11 +195,56 @@ class PlaceIndex:
     def __len__(self) -> int:
         return self._n_rows
 
+    @property
+    def dim(self) -> Optional[int]:
+        """Descriptor dimensionality of the gallery (None while empty)."""
+        return int(self._parts[0].shape[1]) if self._parts else None
+
+    # -- persistence ---------------------------------------------------------
+    GALLERY_VERSION = 1
+
+    def save_gallery(self, path: str) -> None:
+        """Persist the gallery (fp32 descriptors + optional UTM positions)
+        to an ``.npz`` so a server restart — or a search-only node with no
+        model weights — skips re-embedding every tile."""
+        arrays = {"feats": self._host_gallery(),
+                  "version": np.int64(self.GALLERY_VERSION)}
+        pos = self.positions
+        if pos is not None:
+            arrays["positions"] = pos
+        np.savez_compressed(path, **arrays)
+
+    def load_gallery(self, path: str) -> int:
+        """Append a gallery saved by :meth:`save_gallery`.  Returns the new
+        gallery size."""
+        with np.load(path) as z:
+            v = int(z["version"])
+            if v > self.GALLERY_VERSION:
+                raise ValueError(f"gallery file version {v} is newer than "
+                                 f"this build ({self.GALLERY_VERSION})")
+            feats = z["feats"]
+            pos = z["positions"] if "positions" in z.files else None
+        return self.add_descriptors(feats, positions=pos)
+
+    @classmethod
+    def from_gallery(cls, path: str, cfg: Optional[Config] = None,
+                     gallery_mesh=None, quant: Optional[str] = None
+                     ) -> "PlaceIndex":
+        """Search-only index over a saved gallery: no checkpoint, no query
+        tower — ``search_descriptors``/``locate_descriptors`` only.  The
+        serving split this enables (embedder nodes hold the model,
+        searcher nodes hold gallery shards) is how a multi-host deployment
+        scales the two halves independently."""
+        idx = cls(cfg, None, None, gallery_mesh=gallery_mesh, quant=quant)
+        idx.load_gallery(path)
+        return idx
+
     # -- queries ------------------------------------------------------------
     def embed(self, images: np.ndarray,
               points: Optional[np.ndarray] = None) -> np.ndarray:
         """[B, H, W, 3] images (+ optional [B, P, 3] NaN-padded clouds) ->
         [B, C] descriptors.  Requests are padded to the compiled batch."""
+        assert self._embed_q is not None, "search-only index has no tower"
         bs = self.cfg.train.infer_batch_size
         images = np.asarray(images, np.float32)
         n = images.shape[0]
@@ -199,6 +275,26 @@ class PlaceIndex:
         assert self._n_rows > 0, "empty index: add tiles first"
         q = self.embed(images, points)
         return self.search_descriptors(q, k)
+
+    def locate(self, images: np.ndarray,
+               points: Optional[np.ndarray] = None, k: int = 5
+               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Like :meth:`search` but also returns [B, k, 2] UTM east/north of
+        the hit tiles (NaN rows for -1 index padding).  Requires every
+        gallery part to have been added with positions."""
+        d, i = self.search(images, points, k)
+        return d, i, self._positions_of(i)
+
+    def locate_descriptors(self, q_feats: np.ndarray, k: int = 5
+                           ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        d, i = self.search_descriptors(q_feats, k)
+        return d, i, self._positions_of(i)
+
+    def _positions_of(self, i: np.ndarray) -> np.ndarray:
+        pos = self.positions
+        assert pos is not None, "gallery has rows without positions"
+        return np.where((i >= 0)[..., None],
+                        pos[np.clip(i, 0, None)], np.nan)
 
     def search_descriptors(self, q_feats: np.ndarray, k: int
                            ) -> Tuple[np.ndarray, np.ndarray]:

@@ -59,3 +59,43 @@ def test_test_entry_standalone(tmp_path):
     ], cwd=str(tmp_path))
     assert p.returncode == 0, p.stderr[-2000:]
     assert "R@1" in p.stdout, p.stdout[-500:]
+
+
+@pytest.mark.slow
+def test_serve_entry_build_then_search(tmp_path):
+    """serve.py chained end-to-end as subprocesses: train a tiny synthetic
+    checkpoint, build + persist the gallery, then answer descriptor
+    queries model-free from the saved .npz (one JSON line per query with
+    UTM positions)."""
+    import json
+
+    save = tmp_path / "run"
+    common = ["--dataset", "synthetic", "--train_batch_size", "4",
+              "--infer_batch_size", "4", "--negs_num_per_query", "2",
+              "--save_dir", str(save), "--pretrained", "false"]
+    p = _run([os.path.join(REPO, "train.py"), *common,
+              "--epochs_num", "1", "--queries_per_epoch", "8",
+              "--cache_refresh_rate", "8", "--neg_samples_num", "8",
+              "--num_workers", "2"], cwd=str(tmp_path))
+    assert p.returncode == 0, p.stderr[-2000:]
+
+    gal = tmp_path / "gallery.npz"
+    p = _run([os.path.join(REPO, "serve.py"), "build",
+              "--gallery_out", str(gal), *common,
+              "--resume", "best_model"], cwd=str(tmp_path))
+    assert p.returncode == 0, p.stderr[-2000:]
+    built = json.loads(p.stdout.strip().splitlines()[-1])
+    assert built["rows"] > 0 and built["positions"] is True
+
+    q = np.random.default_rng(0).standard_normal((3, 256)).astype(np.float32)
+    qp = tmp_path / "q.npy"
+    np.save(qp, q)
+    p = _run([os.path.join(REPO, "serve.py"), "search",
+              "--gallery", str(gal), "--queries", str(qp), "--k", "2"],
+             cwd=str(tmp_path))
+    assert p.returncode == 0, p.stderr[-2000:]
+    rows = [json.loads(l) for l in p.stdout.strip().splitlines()]
+    assert len(rows) == 3
+    for r in rows:
+        assert len(r["indices"]) == 2 and len(r["east_north"]) == 2
+        assert r["sq_distances"][0] <= r["sq_distances"][1]

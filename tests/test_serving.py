@@ -157,6 +157,56 @@ def test_index_int8_matches_fp32(trained):
     np.testing.assert_array_equal(i[:, :4], i8)
 
 
+def test_gallery_persistence_and_model_free_search(trained, tmp_path):
+    """save_gallery -> from_gallery round trip: a search-only index (no
+    checkpoint, no towers) returns identical results, carries the tiles'
+    UTM positions through locate_descriptors, and refuses to embed."""
+    cfg, save_dir, ds = trained
+    idx = PlaceIndex.from_checkpoint(cfg, save_dir, "best_model")
+    idx.add_tiles(ds)
+    path = str(tmp_path / "gallery.npz")
+    idx.save_gallery(path)
+
+    srv = PlaceIndex.from_gallery(path)
+    assert len(srv) == len(idx) == ds.database_num
+    q = np.random.default_rng(11).standard_normal(
+        (4, cfg.model.features_dim)).astype(np.float32)
+    d1, i1 = idx.search_descriptors(q, k=3)
+    d2, i2, pos = srv.locate_descriptors(q, k=3)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-6)
+    # positions are the dataset's own tile east/north, row-for-row
+    np.testing.assert_allclose(pos, ds.db_eastnorth[i2], atol=0)
+    with pytest.raises(AssertionError, match="search-only"):
+        srv.embed(np.zeros((1, 32, 32, 3), np.float32))
+
+    # k > ntotal: -1 indices map to NaN positions
+    _, i3, pos3 = srv.locate_descriptors(q, k=len(srv) + 2)
+    assert (i3[:, -2:] == -1).all() and np.isnan(pos3[:, -2:]).all()
+
+    # load_gallery appends (second copy doubles the rows); int8 works
+    # model-free too and agrees with fp32 on the doubled gallery
+    srv.load_gallery(path)
+    assert len(srv) == 2 * ds.database_num
+    srv8 = PlaceIndex.from_gallery(path, quant="int8")
+    srv8.load_gallery(path)
+    d4, i4 = srv.search_descriptors(q, k=3)
+    d5, i5 = srv8.search_descriptors(q, k=3)
+    np.testing.assert_allclose(d4, d5, rtol=1e-4, atol=1e-5)
+
+
+def test_descriptors_without_positions_block_locate(trained):
+    cfg, save_dir, ds = trained
+    idx = PlaceIndex.from_checkpoint(cfg, save_dir, "best_model")
+    idx.add_tiles(ds)  # with positions
+    idx.add_descriptors(np.zeros((2, cfg.model.features_dim), np.float32))
+    assert idx.positions is None
+    q = np.random.default_rng(1).standard_normal(
+        (2, cfg.model.features_dim)).astype(np.float32)
+    with pytest.raises(AssertionError, match="positions"):
+        idx.locate_descriptors(q, k=2)
+
+
 def test_index_int8_sharded_matches_fp32(trained):
     """quant='int8' with a 2-way gallery mesh: the sharded int8 candidate
     scan + host re-rank returns the same results as the unsharded fp32

@@ -1,0 +1,99 @@
+"""HTTP serving front-end (`agplace_tpu.serving_http`): JSON search/add
+against an in-process server over a model-free descriptor index."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from agplace_tpu.serving import PlaceIndex
+from agplace_tpu.serving_http import make_http_server
+
+
+def _req(base, path, payload=None):
+    if payload is None:
+        r = urllib.request.urlopen(base + path, timeout=30)
+    else:
+        r = urllib.request.urlopen(urllib.request.Request(
+            base + path, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"}), timeout=30)
+    return r.status, json.loads(r.read())
+
+
+@pytest.fixture()
+def server():
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((50, 32)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    pos = rng.uniform(0, 1000, (50, 2))
+    idx = PlaceIndex(None, None, None)
+    idx.add_descriptors(feats, positions=pos)
+    srv = make_http_server(idx)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    host, port = srv.server_address
+    try:
+        yield f"http://{host}:{port}", idx, feats, pos
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_healthz(server):
+    base, idx, *_ = server
+    code, body = _req(base, "/healthz")
+    assert code == 200
+    assert body == {"ok": True, "rows": 50, "quant": None,
+                    "positions": True}
+
+
+def test_search_matches_local_index(server):
+    base, idx, feats, pos = server
+    q = feats[:3] + 1e-3  # near-duplicates of rows 0..2
+    code, body = _req(base, "/search", {"descriptors": q.tolist(), "k": 4})
+    assert code == 200
+    d_ref, i_ref, p_ref = idx.locate_descriptors(q, k=4)
+    assert body["indices"] == i_ref.astype(int).tolist()
+    assert [r[0] for r in body["indices"]] == [0, 1, 2]
+    np.testing.assert_allclose(np.asarray(body["sq_distances"]), d_ref,
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(body["east_north"]), p_ref)
+
+
+def test_add_then_search_and_padding(server):
+    base, idx, feats, pos = server
+    new = feats[7:8] * 0.999
+    code, body = _req(base, "/add", {"descriptors": new.tolist(),
+                                     "positions": [[1.0, 2.0]]})
+    assert code == 200 and body == {"rows": 51}
+    code, body = _req(base, "/search",
+                      {"descriptors": new.tolist(), "k": 2})
+    assert body["indices"][0][0] == 50  # the freshly added row wins
+    # k > rows: -1 indices, null distances and positions over the wire
+    code, body = _req(base, "/search",
+                      {"descriptors": new.tolist(), "k": 53})
+    assert code == 200
+    assert body["indices"][0][-2:] == [-1, -1]
+    assert body["sq_distances"][0][-2:] == [None, None]
+    assert body["east_north"][0][-1] == [None, None]
+
+
+def test_bad_requests(server):
+    base, *_ = server
+    for path, payload in [
+        ("/search", {"descriptors": "nope"}),
+        ("/search", {"descriptors": [[1.0, float("nan")]]}),
+        ("/search", {"k": 3}),
+        ("/search", {"descriptors": [[1.0, 2.0]], "k": 1}),  # wrong dim
+        ("/add", {"descriptors": [[1.0, 2.0]],
+                  "positions": [[1.0]]}),  # shape mismatch
+    ]:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _req(base, path, payload)
+        assert e.value.code == 400, path
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(base, "/nope")
+    assert e.value.code == 404
