@@ -117,6 +117,11 @@ class PlaceIndex:
         """Append [n, C] descriptors (and optional [n, 2] UTM east/north
         tile positions, enabling :meth:`locate`)."""
         feats = np.asarray(feats, np.float32)
+        if feats.ndim != 2:
+            raise ValueError(f"descriptors must be [n, C], got {feats.shape}")
+        if self._parts and feats.shape[1] != self.dim:
+            raise ValueError(f"descriptor dim {feats.shape[1]} != "
+                             f"gallery dim {self.dim}")
         if positions is not None:
             positions = np.asarray(positions, np.float64)
             if positions.shape != (feats.shape[0], 2):
@@ -310,8 +315,7 @@ class PlaceIndex:
                                    self._device_gallery(), k)
             return np.asarray(d), np.asarray(i)
         if self._sharded():  # k > rows: tiny gallery, use the blocked path
-            db = jnp.asarray(self._parts[0] if len(self._parts) == 1
-                             else np.concatenate(self._parts))
+            db = jnp.asarray(self._host_gallery())
         else:
             db = self._device_gallery()
         d, i = l2_topk_blocked(np.asarray(q_feats), db, k)

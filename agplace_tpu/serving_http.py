@@ -87,7 +87,10 @@ def make_http_server(index, host: str = "127.0.0.1", port: int = 0
             q, err = self._parse_desc(req)
             if q is None:
                 return self._reply(400, {"error": err})
-            k = int(req.get("k", 5))
+            try:
+                k = int(req.get("k", 5))
+            except (TypeError, ValueError):
+                return self._reply(400, {"error": "k must be an integer"})
             if k < 1:
                 return self._reply(400, {"error": "k must be >= 1"})
             with lock:
@@ -120,13 +123,13 @@ def make_http_server(index, host: str = "127.0.0.1", port: int = 0
             if feats is None:
                 return self._reply(400, {"error": err})
             pos = req.get("positions")
-            if pos is not None:
-                pos = np.asarray(pos, np.float64)
-            with lock:
-                try:
+            try:
+                if pos is not None:
+                    pos = np.asarray(pos, np.float64)
+                with lock:
                     n = index.add_descriptors(feats, positions=pos)
-                except ValueError as e:
-                    return self._reply(400, {"error": str(e)})
+            except ValueError as e:
+                return self._reply(400, {"error": str(e)})
             self._reply(200, {"rows": n})
 
     return ThreadingHTTPServer((host, port), Handler)

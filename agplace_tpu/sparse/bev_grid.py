@@ -205,9 +205,7 @@ class BEVConv(nn.Module):
             pad = [(k // 2, k // 2)] * 2
             spatial_stride = (1, 1)
             out_mask = g.mask
-
-            def z_in_of(zo, t):
-                return zo + t - k // 2
+            w2 = fold_w2_stride1(kern, z)
         elif k == 2 and s == 2:
             z_out = (z + 1) // 2
             pad = [(0, g.feats.shape[1] % 2), (0, g.feats.shape[2] % 2)]
@@ -217,19 +215,9 @@ class BEVConv(nn.Module):
                 g.mask[..., None].astype(jnp.float32), (2, 2, 2),
                 strides=(2, 2, 2),
                 padding=pad + zpad)[..., 0] > 0
-
-            def z_in_of(zo, t):
-                return 2 * zo + t
+            w2 = fold_w2_k2s2(kern, z)
         else:
             raise NotImplementedError((k, s))
-
-        w2 = jnp.zeros((k, k, z * cin, z_out * cout), kern.dtype)
-        for zo in range(z_out):
-            for t in range(k):
-                zi = z_in_of(zo, t)
-                if 0 <= zi < z:
-                    w2 = w2.at[:, :, zi * cin : (zi + 1) * cin,
-                               zo * cout : (zo + 1) * cout].set(kern[:, :, t])
 
         out = jax.lax.conv_general_dilated(
             x, w2, window_strides=spatial_stride, padding=pad,

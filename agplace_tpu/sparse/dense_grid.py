@@ -49,8 +49,12 @@ def densify(sv: SparseVoxels,
             ones_feats: bool = False) -> DenseVoxelGrid:
     """SparseVoxels -> dense grid (one scatter).  Coordinates outside the
     extent are clamped to the boundary cell (mirrors quantize()'s clamp).
-    Valid rows must be deduplicated voxels (the ``quantize()`` contract):
-    the scatters declare ``unique_indices`` so XLA can vectorise them.
+    The scatters deliberately do NOT declare ``unique_indices``: clamping
+    can merge distinct voxels into one boundary cell (the default z
+    extent is 8 while quantize() clamps to +-63), and every padding row
+    shares one sentinel index — asserting uniqueness there would be UB
+    the compiler may exploit.  TPU scatters serialise per update anyway
+    (the hint saves ~8%, measured), and the LIVE path rasterizes on host.
 
     ``ones_feats``: the caller asserts every valid feature row is the
     constant 1 (true for the LIVE path — the reference uses all-ones voxel
@@ -63,9 +67,7 @@ def densify(sv: SparseVoxels,
     jj = jnp.clip(c[..., 1] + y // 2, 0, y - 1)
     kk = jnp.clip(c[..., 2] + z // 2, 0, z - 1)
     flat = (ii * y + jj) * z + kk  # [B, N]
-    # padding rows -> far out of bounds, dropped by the scatter; the
-    # remaining indices are unique (quantize() deduplicates), which lets
-    # XLA lower a vectorised scatter instead of a serialised one
+    # padding rows -> far out of bounds, dropped by the scatter
     flat = jnp.where(sv.mask, flat, jnp.int32(2 ** 30))
 
     ch = sv.channels
@@ -73,7 +75,7 @@ def densify(sv: SparseVoxels,
     if ones_feats and ch == 1:
         def scatter_mask(f):
             return jnp.zeros((x * y * z,), bool).at[f].set(
-                True, mode="drop", unique_indices=True)
+                True, mode="drop")
 
         mask = jax.vmap(scatter_mask)(flat).reshape(b, x, y, z)
         return DenseVoxelGrid(
@@ -82,9 +84,8 @@ def densify(sv: SparseVoxels,
 
     def scatter_one(f, feat):
         grid = jnp.zeros((x * y * z, ch), sv.feats.dtype)
-        grid = grid.at[f].add(feat, mode="drop", unique_indices=True)
-        m = jnp.zeros((x * y * z,), bool).at[f].set(True, mode="drop",
-                                                    unique_indices=True)
+        grid = grid.at[f].add(feat, mode="drop")
+        m = jnp.zeros((x * y * z,), bool).at[f].set(True, mode="drop")
         return grid, m
 
     feats, mask = jax.vmap(scatter_one)(flat, sv.feats)

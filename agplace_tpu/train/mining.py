@@ -117,7 +117,16 @@ class TripletMiner:
             cand = rng.choice(ds.database_num, size=n_draw, replace=False)
             negs = np.setdiff1d(cand, soft, assume_unique=True)[: self.nneg]
             if len(negs) < self.nneg:  # tiny gallery: repeat the last
-                filler = negs[-1] if len(negs) else pos
+                if len(negs) == 0:
+                    # every db row is a soft positive (the without-
+                    # replacement draw pigeonholes >= nneg non-soft rows
+                    # otherwise): any row but the positive itself — a
+                    # (q, pos, pos) triplet has a constant margin loss
+                    # and zero gradient, silently diluting the batch
+                    others = np.delete(np.arange(ds.database_num), pos)
+                    negs = (rng.choice(others, size=1) if len(others)
+                            else np.array([pos]))
+                filler = negs[-1]
                 negs = np.concatenate(
                     [negs, np.full(self.nneg - len(negs), filler, negs.dtype)])
             rows.append([q, pos] + [int(n) for n in negs])

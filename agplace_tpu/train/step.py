@@ -103,6 +103,34 @@ def init_state(cfg: Config, rng: jax.Array, sample_batch,
     return TrainState.create(params, batch_stats, tx)
 
 
+def merge_pretrained_subtree(dst: dict, src: dict, where: str,
+                             dropped: list) -> dict:
+    """Overlay converted-weights ``src`` onto model-template ``dst``
+    WITHOUT changing ``dst``'s tree structure: only keys the template
+    already has are replaced (fresh heads stay random-init; converter
+    layers beyond the model's truncation — e.g. ViT/CCT encoder blocks
+    past ``trunc_te`` — are dropped into ``dropped``).  Structure-
+    preserving grafts keep checkpoint trees identical whether or not
+    weights were mounted at init time; a leaf shape mismatch is a
+    converter bug and raises."""
+    out = {}
+    for k, v in dst.items():
+        if k not in src:
+            out[k] = v
+        elif isinstance(v, dict) and isinstance(src[k], dict):
+            out[k] = merge_pretrained_subtree(
+                v, src[k], f"{where}/{k}", dropped)
+        else:
+            new = jnp.asarray(src[k])
+            if new.shape != v.shape:
+                raise ValueError(
+                    f"pretrained graft shape mismatch at {where}/{k}: "
+                    f"model {v.shape} vs weights {new.shape}")
+            out[k] = new
+    dropped.extend(f"{where}/{k}" for k in src if k not in dst)
+    return out
+
+
 def apply_pretrained_backbones(cfg: Config, params, batch_stats):
     """Graft pretrained weights into every image backbone: the MM image
     branch (resnet18/34, convnext_tiny, squeezenet — the reference builds
@@ -131,22 +159,28 @@ def apply_pretrained_backbones(cfg: Config, params, batch_stats):
                     "%s backbones stay random-init", arch, arch)
         return loaded[key]
 
+    merge = merge_pretrained_subtree
+
     def graft(tower: str, path, arch: str, **kw):
         got = get(arch, **kw)
         if got is None:
             return
         p, s = got
+        dropped: list = []
         node_p = params[tower]
         for k in path[:-1]:
             node_p = node_p[k]
-        node_p[path[-1]] = jax.tree_util.tree_map(jnp.asarray, p)
+        node_p[path[-1]] = merge(node_p[path[-1]], p, path[-1], dropped)
         if s:  # BN-less backbones (vgg/convnext/vit/...) have no stats
             node_s = batch_stats[tower]
             for k in path[:-1]:
                 node_s = node_s.setdefault(k, {})
-            node_s[path[-1]] = jax.tree_util.tree_map(jnp.asarray, s)
-        log.info("loaded pretrained %s into %s/%s", arch, tower,
-                 "/".join(path))
+            node_s[path[-1]] = merge(
+                node_s.get(path[-1], {}), s, path[-1], dropped)
+        log.info("loaded pretrained %s into %s/%s%s", arch, tower,
+                 "/".join(path),
+                 f" (dropped {len(dropped)} unused subtrees)"
+                 if dropped else "")
 
     def graft_fe(tower: str, prefix, fe: str, layers):
         """One ImageFE instance (``{prefix}/fe`` subtree)."""
@@ -156,18 +190,9 @@ def apply_pretrained_backbones(cfg: Config, params, batch_stats):
             graft(tower, prefix + ("fe",), fe, layers=tuple(layers))
         elif fe in ("squeezenet10", "squeezenet11"):
             # the trunk only: the 1x1 512->256 head is fresh in the
-            # reference too (image_fe.py:45-49)
-            got = get(fe)
-            if got is None:
-                return
-            p, _ = got
-            node = params[tower]
-            for k in prefix + ("fe",):
-                node = node[k]
-            for k, v in p.items():  # leave the random-init "fc" in place
-                node[k] = jax.tree_util.tree_map(jnp.asarray, v)
-            log.info("loaded pretrained %s trunk into %s/%s/fe", fe,
-                     tower, "/".join(prefix))
+            # reference too (image_fe.py:45-49) — merge() leaves the
+            # random-init "fc" in place
+            graft(tower, prefix + ("fe",), fe)
 
     def graft_geoloc(tower: str, prefix):
         from agplace_tpu.models.geoloc import _RESNET_BACKBONES

@@ -77,9 +77,8 @@ def fetch(arch: str, out_dir: str) -> str:
             sd = sd["state_dict"]
         torch.save(sd, dst)
     else:
-        raise SystemExit(f"unknown arch {arch!r}; choices: "
-                         f"{sorted([*TORCHVISION_URLS, *CCT_URLS,
-                                    *HF_MODELS])}")
+        choices = sorted([*TORCHVISION_URLS, *CCT_URLS, *HF_MODELS])
+        raise SystemExit(f"unknown arch {arch!r}; choices: {choices}")
     print(f"[ok]   {arch} -> {dst}")
     return dst
 

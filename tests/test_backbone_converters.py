@@ -440,3 +440,47 @@ def test_cct_pos_embed_grid_resize():
     tc = _TorchCCT(64, 4, 1, n_tokens=16).eval()
     params, _ = convert_cct(tc.state_dict(), n_tokens=64)
     assert params["pos"].shape == (1, 64, 64)
+
+
+def test_graft_preserves_template_structure_past_trunc():
+    """Structure-preserving graft (merge_pretrained_subtree): converting a
+    4-layer ViT checkpoint into a trunc_te=2 backbone must keep the model
+    template's tree exactly (no dead encoder layers in params/optimizer/
+    checkpoints) while grafting the layers the model does use; a leaf
+    shape mismatch raises instead of silently poisoning the tree."""
+    transformers = pytest.importorskip("transformers")
+    from transformers import ViTConfig, ViTModel
+
+    from agplace_tpu.models.geoloc import ViTBackbone
+    from agplace_tpu.train.step import merge_pretrained_subtree
+
+    hf = ViTModel(ViTConfig(hidden_size=64, num_hidden_layers=4,
+                            num_attention_heads=4, intermediate_size=256,
+                            image_size=32, patch_size=8,
+                            hidden_dropout_prob=0.0,
+                            attention_probs_dropout_prob=0.0),
+                  add_pooling_layer=False).eval()
+    src, _ = convert_vit_b16(hf.state_dict(), heads=4)
+    assert "ln1_3" in src  # converter emits every checkpoint layer
+
+    vb = ViTBackbone(hidden=64, layers=4, heads=4, patch=8, trunc_te=2)
+    tmpl = vb.init(jax.random.PRNGKey(0),
+                   jax.numpy.zeros((1, 32, 32, 3)))["params"]
+    tmpl = jax.tree_util.tree_map(lambda x: x, tmpl)  # plain dict copy
+
+    dropped = []
+    merged = merge_pretrained_subtree(dict(tmpl), src, "backbone", dropped)
+    # identical structure: same treedef as the template
+    t1 = jax.tree_util.tree_structure(tmpl)
+    t2 = jax.tree_util.tree_structure(merged)
+    assert t1 == t2
+    assert "ln1_2" not in merged and "ln1_3" not in merged
+    assert any("ln1_3" in d for d in dropped)
+    # the kept layers really did graft
+    np.testing.assert_allclose(np.asarray(merged["ln1_0"]["scale"]),
+                               np.asarray(src["ln1_0"]["scale"]))
+
+    # shape mismatch = converter bug = loud failure
+    bad = {"ln1_0": {"scale": np.zeros(65, np.float32)}}
+    with pytest.raises(ValueError, match="shape mismatch"):
+        merge_pretrained_subtree(dict(tmpl), bad, "backbone", [])

@@ -129,3 +129,19 @@ def test_evaluate_prefit_pca_still_respected(world):
     r, _ = evaluate(cfg_p, ds, state.params, state.batch_stats,
                     embed_q, embed_db, pca=pca)
     assert np.isfinite(r).all()
+
+
+def test_mine_random_all_soft_world_avoids_pos_as_neg(world):
+    """When every database row is a soft positive of the query, the filler
+    negative must still differ from the positive: a (q, pos, pos) triplet
+    has constant margin loss and zero gradient."""
+    cfg, ds, *_ = world
+    import copy
+
+    dense = copy.copy(ds)
+    all_rows = np.arange(ds.database_num)
+    dense.soft_positives_per_query = [all_rows] * ds.queries_num
+    miner = TripletMiner(cfg, dense)
+    rows = miner.mine_random(np.random.default_rng(0), 8)
+    for q, pos, *negs in rows:
+        assert all(int(n) != int(pos) for n in negs), (q, pos, negs)

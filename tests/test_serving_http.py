@@ -88,8 +88,12 @@ def test_bad_requests(server):
         ("/search", {"descriptors": [[1.0, float("nan")]]}),
         ("/search", {"k": 3}),
         ("/search", {"descriptors": [[1.0, 2.0]], "k": 1}),  # wrong dim
+        ("/search", {"descriptors": [[1.0] * 32], "k": "five"}),
         ("/add", {"descriptors": [[1.0, 2.0]],
                   "positions": [[1.0]]}),  # shape mismatch
+        ("/add", {"descriptors": [[1.0, 2.0]]}),  # dim != gallery dim
+        ("/add", {"descriptors": [[1.0] * 32],
+                  "positions": [[1.0], [2.0, 3.0]]}),  # ragged positions
     ]:
         with pytest.raises(urllib.error.HTTPError) as e:
             _req(base, path, payload)
