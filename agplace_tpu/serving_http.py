@@ -142,3 +142,86 @@ def serve_forever(index, host: str = "127.0.0.1", port: int = 8080) -> None:
         srv.serve_forever()
     finally:
         srv.server_close()
+
+
+class ShardedSearchClient:
+    """Scatter-gather over N searcher nodes, each serving one row-range of
+    the global gallery through the HTTP API above.
+
+    This is the DCN half of the serving deployment: within a pod the
+    gallery shards over the ICI mesh (``retrieval/sharded.py``); across
+    hosts each node loads its own ``save_gallery`` file and the client
+    fans a query out to every node and merges the local top-k — the same
+    local-topk + merge the ICI path runs, with HTTP instead of
+    all-gather.  Global index = node's row offset + local index, with
+    offsets taken from the node order given here (healthz row counts).
+    """
+
+    def __init__(self, urls, timeout: float = 30.0):
+        import urllib.request
+
+        self.urls = list(urls)
+        self.timeout = timeout
+        self._rows = []
+        for u in self.urls:
+            with urllib.request.urlopen(u.rstrip("/") + "/healthz",
+                                        timeout=timeout) as r:
+                self._rows.append(int(json.loads(r.read())["rows"]))
+        self.offsets = np.concatenate(
+            [[0], np.cumsum(self._rows[:-1])]).astype(np.int64)
+
+    def __len__(self) -> int:
+        return int(sum(self._rows))
+
+    def _post(self, url: str, payload: dict) -> dict:
+        import urllib.request
+
+        req = urllib.request.Request(
+            url.rstrip("/") + "/search",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=self.timeout) as r:
+            return json.loads(r.read())
+
+    def search(self, descriptors: np.ndarray, k: int = 5):
+        """[Q, C] descriptors -> (sq_distances [Q, k], global indices
+        [Q, k], east_north [Q, k, 2] or None).  faiss semantics: +inf/-1
+        (NaN positions) padding when k exceeds the global row count."""
+        q = np.asarray(descriptors, np.float32)
+        payload = {"descriptors": q.tolist(), "k": k}
+        import concurrent.futures as cf
+
+        with cf.ThreadPoolExecutor(len(self.urls)) as ex:
+            replies = list(ex.map(
+                lambda u: self._post(u, payload), self.urls))
+
+        def col(rep, key, fill):
+            rows = rep[key]
+            return np.asarray([[fill if v is None else v for v in r]
+                               for r in rows])
+
+        d = np.concatenate(
+            [col(rep, "sq_distances", np.inf) for rep in replies], axis=1)
+        i = np.concatenate(
+            [np.where(np.asarray(rep["indices"]) >= 0,
+                      np.asarray(rep["indices"], np.int64) + off, -1)
+             for rep, off in zip(replies, self.offsets)], axis=1)
+        has_pos = all("east_north" in rep for rep in replies)
+        if has_pos:
+            pos = np.concatenate(
+                [np.asarray([[[np.nan, np.nan] if e is None or e[0] is None
+                              else e for e in r] for r in rep["east_north"]])
+                 for rep in replies], axis=1)
+        # each node already pads its local result to k with inf/-1, so the
+        # concatenated width is n_nodes*k >= k and the global merge keeps
+        # faiss semantics (k > global rows -> trailing inf/-1 rows)
+        order = np.argsort(d.astype(np.float32), axis=1,
+                           kind="stable")[:, :k]
+        d_out = np.take_along_axis(d, order, axis=1).astype(np.float32)
+        i_out = np.where(np.isinf(d_out), -1,
+                         np.take_along_axis(i, order, axis=1))
+        if not has_pos:
+            return d_out, i_out, None
+        p_out = np.take_along_axis(pos, order[..., None], axis=1)
+        p_out = np.where((i_out >= 0)[..., None], p_out, np.nan)
+        return d_out, i_out, p_out

@@ -72,10 +72,36 @@ def _build(own, rest) -> None:
                       "positions": idx.positions is not None}))
 
 
+def _print_rows(d, i, pos) -> None:
+    """One JSON line per query; non-finite values (k > rows padding)
+    become null so the output stays strict JSON."""
+    for r in range(d.shape[0]):
+        row = {"query": r,
+               "indices": [int(v) for v in i[r]],
+               "sq_distances": [None if not np.isfinite(v)
+                                else round(float(v), 6) for v in d[r]]}
+        if pos is not None:
+            row["east_north"] = [
+                [None, None] if not np.isfinite(e)
+                else [round(float(e), 3), round(float(n), 3)]
+                for e, n in pos[r]]
+        print(json.dumps(row))
+
+
 def _search(own, rest) -> None:
     from agplace_tpu.serving import PlaceIndex
 
-    assert own.gallery, "search needs --gallery <file.npz>"
+    assert own.gallery, "search needs --gallery <file.npz or http://node,..>"
+    if own.gallery.startswith("http"):
+        # scatter-gather across searcher nodes (`serve.py http` instances)
+        from agplace_tpu.serving_http import ShardedSearchClient
+
+        assert own.queries is not None, \
+            "node search takes pre-computed --queries descriptors"
+        client = ShardedSearchClient(own.gallery.split(","))
+        q = np.load(own.queries).astype(np.float32)
+        _print_rows(*client.search(q, k=own.k))
+        return
     if own.queries is not None:
         # model-free path: pre-computed descriptors against saved gallery
         idx = PlaceIndex.from_gallery(own.gallery.split(",")[0],
@@ -109,14 +135,7 @@ def _search(own, rest) -> None:
         else:
             d, i = idx.search_descriptors(q, k=own.k)
             pos = None
-    for r in range(d.shape[0]):
-        row = {"query": r,
-               "indices": [int(v) for v in i[r]],
-               "sq_distances": [round(float(v), 6) for v in d[r]]}
-        if pos is not None:
-            row["east_north"] = [[round(float(e), 3), round(float(n), 3)]
-                                 for e, n in pos[r]]
-        print(json.dumps(row))
+    _print_rows(d, i, pos)
 
 
 def _http(own, rest) -> None:

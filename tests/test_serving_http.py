@@ -101,3 +101,49 @@ def test_bad_requests(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _req(base, "/nope")
     assert e.value.code == 404
+
+
+def test_sharded_search_client_matches_flat_index():
+    """ShardedSearchClient over two searcher nodes (each one row-range of
+    the gallery) returns exactly the flat index's global results —
+    distances, global indices, positions, and k>rows faiss padding."""
+    from agplace_tpu.serving_http import ShardedSearchClient
+
+    rng = np.random.default_rng(4)
+    feats = rng.standard_normal((60, 32)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    pos = rng.uniform(0, 1000, (60, 2))
+    flat = PlaceIndex(None, None, None)
+    flat.add_descriptors(feats, positions=pos)
+
+    servers, urls = [], []
+    for lo, hi in [(0, 25), (25, 60)]:  # deliberately uneven shards
+        shard = PlaceIndex(None, None, None)
+        shard.add_descriptors(feats[lo:hi], positions=pos[lo:hi])
+        srv = make_http_server(shard)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        servers.append(srv)
+        urls.append("http://%s:%d" % srv.server_address)
+    try:
+        client = ShardedSearchClient(urls)
+        assert len(client) == 60
+        q = rng.standard_normal((5, 32)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        d_ref, i_ref, p_ref = flat.locate_descriptors(q, k=7)
+        d, i, p = client.search(q, k=7)
+        np.testing.assert_array_equal(i, i_ref)
+        np.testing.assert_allclose(d, d_ref, rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(p, p_ref)
+        # k beyond one shard's rows but below the global count
+        d, i, _ = client.search(q, k=30)
+        d_ref, i_ref = flat.search_descriptors(q, k=30)
+        np.testing.assert_array_equal(i, i_ref)
+        # k > global rows: +inf / -1 / NaN tail
+        d, i, p = client.search(q, k=63)
+        assert (i[:, 60:] == -1).all() and np.isinf(d[:, 60:]).all()
+        assert np.isnan(p[:, 60:]).all()
+        np.testing.assert_array_equal(i[:, :30], i_ref)
+    finally:
+        for srv in servers:
+            srv.shutdown()
+            srv.server_close()
