@@ -269,7 +269,7 @@ class TrainConfig:
     cache_refresh_rate: int = 4000
     neg_samples_num: int = 1000  # negative candidate pool per refresh
     negs_num_per_query: int = 10
-    mining: str = "partial_sep"  # partial | partial_sep | full | random | msls_weighted
+    mining: str = "partial_sep"  # partial | partial_sep | full | full_gallery | random | msls_weighted
     # optimizer (two Adams in the reference, train.py:213-214; here one
     # labelled optax partition with the same per-group LRs)
     optim: str = "adam"
@@ -564,7 +564,8 @@ _FLAG_TABLE = [
     ("neg_samples_num", "train.neg_samples_num", "int"),
     ("negs_num_per_query", "train.negs_num_per_query", "int"),
     ("mining", "train.mining", "str",
-     ["partial", "partial_sep", "full", "random", "msls_weighted"]),
+     ["partial", "partial_sep", "full", "full_gallery", "random",
+      "msls_weighted"]),
     ("optim", "train.optim", "str", ["adam", "sgd"]),
     ("lr", "train.lr", "float"),
     ("lrpc", "train.lrpc", "float"),

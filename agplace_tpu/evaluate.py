@@ -7,13 +7,13 @@ nearest_crop / maj_voting post-processing.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
 from agplace_tpu.config import Config
-from agplace_tpu.data.base import PlaceDataset, collate_cache_db, collate_cache_q
+from agplace_tpu.data.base import PlaceDataset
 from agplace_tpu.embed import (
     batched_embed_db,
     batched_embed_q,
@@ -39,7 +39,8 @@ def _topk(q_feats, db_feats, k: int, gallery_mesh=None):
 
         db_sh = shard_gallery(gallery_mesh, db_feats)
         d, i = sharded_l2_topk(gallery_mesh,
-                               jnp.asarray(np.asarray(q_feats)), db_sh, k)
+                               jnp.asarray(np.asarray(q_feats)), db_sh, k,
+                               n_rows=len(db_feats))
         return np.asarray(d), np.asarray(i)
     d, i = l2_topk_blocked(q_feats, jnp.asarray(db_feats), k)
     return np.asarray(d), np.asarray(i)
@@ -63,8 +64,14 @@ def extract_features(
                                 params, batch_stats, bs, mesh=mesh)
 
     crop_methods = ("five_crops", "nearest_crop", "maj_voting")
-    use_crops = (cfg.eval.test_method in crop_methods
-                 and hasattr(ds, "load_query_crops"))
+    use_crops = cfg.eval.test_method in crop_methods
+    if use_crops and not hasattr(ds, "load_query_crops"):
+        # a silent single-descriptor fallback would feed [Q, C] rows into
+        # evaluate_features' 5-crop reshapes — garbage recalls or a shape
+        # error far from the cause
+        raise ValueError(
+            f"test_method {cfg.eval.test_method!r} needs a dataset with "
+            f"load_query_crops; {type(ds).__name__} has none")
     if use_crops:
         # 5 descriptors per query, crop-major rows (test.py:159-172)
         q_feats = batched_embed_q_crops(ds, list(range(ds.queries_num)),
@@ -137,6 +144,15 @@ def evaluate_features(
     k = max(cfg.eval.recall_values)
 
     if method in ("nearest_crop", "maj_voting"):
+        if k > 20:
+            # the reference reshapes its faiss search to (Q, 20*5)
+            # (test.py:35-36), which requires max(recall_values) == 20;
+            # recall values past the 20-deep crop merge would silently
+            # report R@20 — refuse loudly instead (the reference crashes
+            # on the reshape)
+            raise ValueError(
+                f"{method} supports recall values up to 20 (test.py:35-71 "
+                f"20-prediction merge); got {cfg.eval.recall_values}")
         d, i = _topk(q_feats, db_feats, 20, gallery_mesh)
         d = d.reshape(ds.queries_num, 5 * 20)
         i = i.reshape(ds.queries_num, 5 * 20)

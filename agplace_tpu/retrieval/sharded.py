@@ -118,23 +118,32 @@ def sharded_l2_candidates_int8(mesh: Mesh, queries, quant_gallery, nc: int,
 
 
 def sharded_l2_topk(mesh: Mesh, queries, database_sharded, k: int,
-                    axis: str = "gallery") -> Tuple[jax.Array, jax.Array]:
+                    axis: str = "gallery", n_rows: int = None
+                    ) -> Tuple[jax.Array, jax.Array]:
     """Exact global top-k over a gallery sharded on ``axis``.
 
     queries: [Q, C] (replicated).  Returns (sq_distances [Q, k],
-    global indices [Q, k]).
+    global indices [Q, k]).  ``n_rows``: the REAL row count before
+    :func:`shard_gallery`'s divisibility padding — pass it whenever k can
+    reach the gallery size, or the guard below compares k against the
+    PADDED count and sentinel rows leak into the result as huge-distance
+    valid-looking indices instead of faiss's +inf/-1.
     """
     n_shards = mesh.shape[axis]
     shard_rows = database_sharded.shape[0] // n_shards
+    if n_rows is None:
+        n_rows = database_sharded.shape[0]
     # a shard smaller than k contributes all its rows; the merge below still
-    # sees >= k candidates as long as the full gallery has >= k rows.  For
-    # k > total rows, faiss pads with +inf/-1 — the single-device l2_topk
-    # implements that; route there (shard_gallery's sentinel padding rows
-    # would otherwise enter the result set).
-    if k > database_sharded.shape[0]:
+    # sees >= k candidates as long as the full gallery has >= k REAL rows
+    # (each real global-top-k row wins its local top-min(k, shard_rows), and
+    # sentinel padding always loses to real rows, so with k <= n_rows the
+    # merged result is sentinel-free).  For k > n_rows, faiss pads with
+    # +inf/-1 — the single-device l2_topk implements that; route there on
+    # the sentinel-free row slice.
+    if k > n_rows:
         from agplace_tpu.retrieval.knn import l2_topk
 
-        return l2_topk(queries, database_sharded, k)
+        return l2_topk(queries, database_sharded[:n_rows], k)
     k_local = min(k, shard_rows)
 
     @functools.partial(

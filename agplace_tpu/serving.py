@@ -312,7 +312,8 @@ class PlaceIndex:
 
             d, i = sharded_l2_topk(self.gallery_mesh,
                                    jnp.asarray(np.asarray(q_feats)),
-                                   self._device_gallery(), k)
+                                   self._device_gallery(), k,
+                                   n_rows=self._n_rows)
             return np.asarray(d), np.asarray(i)
         if self._sharded():  # k > rows: tiny gallery, use the blocked path
             db = jnp.asarray(self._host_gallery())

@@ -75,9 +75,13 @@ def train(
     ckpt = CheckpointManager(cfg.train.save_dir)
     start_epoch = 0
     best_r1r5r10ep = [0.0, 0.0, 0.0, 0]
+    best_r5 = 0.0  # best R@5 seen (reference meta field, train.py:384)
+    not_improved_num = 0  # epochs since is_best (train.py:385)
     if cfg.train.resume:
         state, meta = ckpt.restore(cfg.train.resume, state)
         start_epoch = int(meta["epoch_num"]) + 1
+        best_r5 = float(meta.get("best_r5", 0.0))
+        not_improved_num = int(meta.get("not_improved_num", 0))
         log.info("resumed from %s at epoch %d", cfg.train.resume, start_epoch)
 
     history = []
@@ -146,6 +150,10 @@ def train(
         is_best = sum(recalls[:3]) > sum(best_r1r5r10ep[:3])
         if is_best:
             best_r1r5r10ep = [recalls[0], recalls[1], recalls[2], epoch]
+            not_improved_num = 0
+        else:
+            not_improved_num += 1
+        best_r5 = max(best_r5, float(recalls[1]))
         log.info("epoch %d: loss=%.4f %s (best ep %d) [%.1fs]", epoch,
                  mean_loss, recalls_str, best_r1r5r10ep[3], time.time() - t0)
         if results_logger is not None:  # results/{exp_name}.txt parity
@@ -160,8 +168,8 @@ def train(
                         "recalls": recalls})
 
         if epoch > cfg.train.checkpoint_after_epoch or is_best:
-            ckpt.save(state, epoch, recalls, best_r5=float(recalls[1]),
-                      not_improved_num=0, is_best=is_best)
+            ckpt.save(state, epoch, recalls, best_r5=best_r5,
+                      not_improved_num=not_improved_num, is_best=is_best)
         if max_steps is not None and steps_done >= max_steps:
             break
 

@@ -49,7 +49,10 @@ def _select_triplets(
     neg_d = jnp.where(neg_forbidden, big, neg_d)
     _, hard_slots = jax.lax.top_k(-neg_d, n_hard)  # [nq, n_hard]
     hard_negs = jnp.take_along_axis(neg_idx, hard_slots, axis=1)
-    return best_pos, hard_negs
+    # True where a forbidden (big-distance) slot won — happens only when
+    # the pool holds fewer than n_hard allowed rows; the caller repairs
+    hard_forbidden = jnp.take_along_axis(neg_forbidden, hard_slots, axis=1)
+    return best_pos, hard_negs, hard_forbidden
 
 
 class TripletMiner:
@@ -68,6 +71,11 @@ class TripletMiner:
             i for i in range(ds.queries_num)
             if len(ds.hard_positives_per_query[i]) > 0
         ])
+        # `full` mining: per-query persistent hardest-negative memory, the
+        # reference's self.neg_cache (kitti360:734, unioned into each
+        # round's candidate pool at :1041-1046)
+        self.neg_cache = [np.empty((0,), np.int64)
+                          for _ in range(ds.queries_num)]
 
     def mine_random(self, rng: np.random.Generator, n_queries: int,
                     params=None, batch_stats=None, embed_q=None,
@@ -171,12 +179,34 @@ class TripletMiner:
             for q in qs
         ])
 
-        best_pos_slot, hard_neg_slots = _select_triplets(
+        best_pos_slot, hard_neg_slots, bad = _select_triplets(
             jnp.asarray(q_feats), jnp.asarray(db_feats),
             jnp.asarray(pos_idx), jnp.asarray(neg_idx),
             jnp.asarray(forbidden), self.nneg)
         best_pos = cache_ids[np.asarray(best_pos_slot)]
         hard_negs = cache_ids[np.asarray(hard_neg_slots)]
+        # a query whose soft positives cover more than S-nneg of the
+        # sampled pool gets forbidden (big-distance) slots from top_k —
+        # the jitted selection can't reject them, so repair on host with
+        # random non-soft rows (the reference instead crashes: its ragged
+        # triplet tuple breaks the [N, 12] tensor, kitti360:1097)
+        bad = np.asarray(bad)
+        for r in np.nonzero(bad.any(axis=1))[0]:
+            soft = ds.soft_positives_per_query[int(qs[r])]
+            keep = hard_negs[r][~bad[r]]
+            pool = np.setdiff1d(
+                np.setdiff1d(np.arange(ds.database_num), soft), keep)
+            slots = np.nonzero(bad[r])[0]
+            if len(pool):
+                fill = rng.choice(pool, size=len(slots),
+                                  replace=len(pool) < len(slots))
+            else:  # every db row is soft: least-bad, avoid the positive
+                others = np.delete(np.arange(ds.database_num),
+                                   int(best_pos[r]))
+                fill = (rng.choice(others, size=len(slots))
+                        if len(others)
+                        else np.full(len(slots), best_pos[r]))
+            hard_negs[r, slots] = fill
         return np.concatenate(
             [qs[:, None], best_pos[:, None], hard_negs], axis=1)
 
@@ -190,15 +220,21 @@ class TripletMiner:
         embed_db,
         mesh=None,
         gallery_mesh=None,
+        whole_gallery: bool = False,
     ) -> np.ndarray:
         """compute_triplets_full semantics (``datasets_ws_kitti360.py:
-        1022-1097``): the hardest negatives are searched over the ENTIRE
-        gallery, not a sampled candidate pool.  Embeds the full database
-        (data-parallel over ``mesh``), takes a global top-k per query with
-        the sharded retrieval engine when ``gallery_mesh`` spans >1 device,
-        then filters each query's soft positives out of its candidates.  The
-        top-k is sized nneg + max|soft positives| so >= nneg non-positive
-        candidates always survive."""
+        1022-1048``): embed the ENTIRE database (the "full" cache,
+        data-parallel over ``mesh``), pick the best positive per query
+        from it, then search the hardest negatives within ``rng.choice(
+        database_num, neg_samples_num)`` minus soft positives, UNIONED
+        with the query's persistent ``neg_cache`` from earlier rounds
+        (:1041-1042); the selected negatives refresh the cache (:1046).
+
+        ``whole_gallery=True`` (``--mining full_gallery``, beyond parity)
+        instead searches the hardest negatives over the entire gallery —
+        a global top-k through the sharded retrieval engine when
+        ``gallery_mesh`` spans >1 device — sized nneg + max|soft
+        positives| so >= nneg non-positive candidates always survive."""
         ds, cfg = self.ds, self.cfg
         bs = cfg.train.infer_batch_size
         qs = rng.choice(self.valid_queries, size=n_queries,
@@ -221,6 +257,33 @@ class TripletMiner:
         slot = np.asarray(jnp.argmin(pos_d, axis=1))
         best_pos = pos_idx[np.arange(len(qs)), slot]
 
+        if not whole_gallery:
+            # reference path: pool = random neg_samples_num draw minus
+            # soft positives, unioned with the persistent neg_cache;
+            # hardest nneg by exact L2 against the full-database cache
+            db_host = np.asarray(db_feats)
+            q_host = np.asarray(q_feats)
+            rows = np.empty((len(qs), 2 + self.nneg), np.int64)
+            for r, q in enumerate(qs):
+                draw = rng.choice(ds.database_num,
+                                  size=min(ds.database_num, self.neg_pool),
+                                  replace=False)
+                cand = np.setdiff1d(draw, ds.soft_positives_per_query[q],
+                                    assume_unique=True)
+                cand = np.unique(np.concatenate(
+                    [self.neg_cache[q], cand])).astype(np.int64)
+                d = np.sum((db_host[cand] - q_host[r]) ** 2, axis=1)
+                negs = cand[np.argsort(d, kind="stable")[: self.nneg]]
+                self.neg_cache[q] = negs
+                if len(negs) < self.nneg:  # pool emptied by soft filter
+                    filler = negs[-1] if len(negs) else int(best_pos[r])
+                    negs = np.concatenate([negs, np.full(
+                        self.nneg - len(negs), filler, np.int64)])
+                rows[r, 0] = q
+                rows[r, 1] = best_pos[r]
+                rows[r, 2:] = negs
+            return rows
+
         # hardest negatives over the whole gallery, excluding soft positives
         max_soft = max(len(ds.soft_positives_per_query[q]) for q in qs)
         k = min(ds.database_num, self.nneg + max_soft)
@@ -233,7 +296,8 @@ class TripletMiner:
             )
 
             db_sh = shard_gallery(gallery_mesh, db_feats)
-            _, cand = sharded_l2_topk(gallery_mesh, qj, db_sh, k)
+            _, cand = sharded_l2_topk(gallery_mesh, qj, db_sh, k,
+                                      n_rows=len(db_feats))
         else:
             from agplace_tpu.retrieval.knn import l2_topk_blocked
 
@@ -259,10 +323,11 @@ class TripletMiner:
             return self.mine_random(rng, n_queries, params=params,
                                     batch_stats=batch_stats, embed_q=embed_q,
                                     embed_db=embed_db, mesh=mesh)
-        if mining == "full":
+        if mining in ("full", "full_gallery"):
             return self.mine_full(rng, n_queries, params, batch_stats,
                                   embed_q, embed_db, mesh=mesh,
-                                  gallery_mesh=gallery_mesh)
+                                  gallery_mesh=gallery_mesh,
+                                  whole_gallery=mining == "full_gallery")
         if mining in ("partial_sep", "partial", "msls_weighted"):
             # `partial` differs from partial_sep only in sharing one tower
             # for queries and database (compute_cache vs compute_cache_sep in

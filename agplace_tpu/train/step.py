@@ -243,9 +243,14 @@ def make_train_step(cfg: Config):
             batch["query_image"], batch["vox"], mutable=True,
         )
         if db is None:  # --share_qdb: query tower embeds the aerial maps
+            # start from the query pass's mutated stats so both forwards
+            # advance the shared BN running averages sequentially, as one
+            # torch model would (query EMA step, then aerial EMA step)
             aerial, db_mut = shared_db_apply(
                 cfg.model.modelq, mm,
-                {"params": params["mm"], "batch_stats": batch_stats["mm"]},
+                {"params": params["mm"],
+                 "batch_stats": mm_mut.get("batch_stats",
+                                           batch_stats["mm"])},
                 batch["db_map"], mutable=True)
         else:
             aerial, db_mut = db.apply(
@@ -284,9 +289,8 @@ def make_train_step(cfg: Config):
         metrics["triplet_loss"] = tloss
         metrics["loss"] = loss
         if db is None:
-            # shared tower: the aerial pass ran after the query pass, so its
-            # batch-stats mutation is the latest (reference: one model, BN
-            # stats advanced by both forwards)
+            # shared tower: the aerial pass started from the query pass's
+            # mutated stats (above), so db_mut carries BOTH EMA steps
             new_stats = {
                 "mm": db_mut.get("batch_stats",
                                  mm_mut.get("batch_stats",

@@ -173,3 +173,53 @@ def test_new_flags_parse():
     assert cfg.model.share_qdb is True
     assert cfg.train.lr_crn_layer == 1e-3
     assert cfg.model.mm.voxfe_block == "convnext"
+
+
+def test_share_qdb_bn_stats_see_both_passes():
+    """With one shared tower, BN running stats must advance through BOTH
+    forwards sequentially (query EMA step, then aerial EMA step) like a
+    single torch model would — the query pass's contribution must not be
+    discarded (r3 review fix)."""
+    from agplace_tpu.models.factory import query_apply, shared_db_apply
+    from agplace_tpu.models.factory import make_query_model
+    from agplace_tpu.train.step import init_state, make_train_step
+
+    cfg = _geoloc_cfg(share_qdb=True)
+    ds, batch = _batch(cfg)
+    state = init_state(cfg, jax.random.PRNGKey(0), batch)
+    mm = make_query_model(cfg, train=True)
+
+    # oracle FIRST (make_train_step donates the state's buffers): apply
+    # the two passes sequentially by hand from the initial stats
+    params0 = jax.tree_util.tree_map(np.asarray, state.params["mm"])
+    stats0 = jax.tree_util.tree_map(np.asarray, state.batch_stats["mm"])
+    _, mut_q = query_apply(
+        "geoloc", mm, {"params": params0, "batch_stats": stats0},
+        batch["query_image"], batch["vox"], mutable=True)
+    _, mut_db = shared_db_apply(
+        "geoloc", mm,
+        {"params": params0, "batch_stats": mut_q["batch_stats"]},
+        batch["db_map"], mutable=True)
+    want = mut_db["batch_stats"]
+    _, mut_db_only = shared_db_apply(
+        "geoloc", mm, {"params": params0, "batch_stats": stats0},
+        batch["db_map"], mutable=True)
+
+    step = make_train_step(cfg)
+    new_state, _ = step(state, batch)
+
+    got = new_state.batch_stats["mm"]
+    flat_w = jax.tree_util.tree_leaves_with_path(want)
+    flat_g = jax.tree_util.tree_leaves_with_path(got)
+    assert len(flat_w) == len(flat_g) > 0
+    for (pw, w), (pg, g) in zip(flat_w, flat_g):
+        assert pw == pg
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-5, atol=1e-6, err_msg=str(pw))
+
+    # and the query contribution is really in there: aerial-only stats
+    # from the initial state differ from the composed ones
+    leaves_only = jax.tree_util.tree_leaves(mut_db_only["batch_stats"])
+    leaves_got = jax.tree_util.tree_leaves(got)
+    assert any(not np.allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+               for a, b in zip(leaves_only, leaves_got))

@@ -82,10 +82,10 @@ def test_evaluate_uses_sharded_retrieval(tmp_path):
 
 @pytest.mark.slow
 def test_mine_full_matches_bruteforce(tmp_path):
-    """Whole-gallery hardest-negative mining (reference
-    ``datasets_ws_kitti360.py:1022-1097`` semantics): negatives are the
-    globally hardest non-soft-positive tiles; the positive is the closest
-    hard positive."""
+    """Whole-gallery hardest-negative mining (``--mining full_gallery``,
+    the beyond-parity variant of the reference's compute_triplets_full):
+    negatives are the globally hardest non-soft-positive tiles; the
+    positive is the closest hard positive."""
     from agplace_tpu.data.base import collate_train
     from agplace_tpu.embed import batched_embed_db, batched_embed_q
     from agplace_tpu.train.mining import TripletMiner
@@ -93,7 +93,7 @@ def test_mine_full_matches_bruteforce(tmp_path):
 
     cfg, train_ds, _ = _cfg_ds(tmp_path, MeshConfig(data_parallel=1, gallery_parallel=1))
     cfg = dataclasses.replace(
-        cfg, train=dataclasses.replace(cfg.train, mining="full"))
+        cfg, train=dataclasses.replace(cfg.train, mining="full_gallery"))
     rng = np.random.default_rng(0)
     miner = TripletMiner(cfg, train_ds)
     batch = collate_train(train_ds, miner.mine_random(rng, 4), cfg, rng)

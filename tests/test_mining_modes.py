@@ -47,7 +47,8 @@ def _check_rows(rows, ds, nneg):
 
 
 @pytest.mark.parametrize(
-    "mode", ["random", "partial", "partial_sep", "msls_weighted", "full"])
+    "mode", ["random", "partial", "partial_sep", "msls_weighted", "full",
+             "full_gallery"])
 def test_mining_mode_matrix(world, mode):
     cfg, ds, state, embed_q, embed_db = world
     cfg = dataclasses.replace(
@@ -145,3 +146,67 @@ def test_mine_random_all_soft_world_avoids_pos_as_neg(world):
     rows = miner.mine_random(np.random.default_rng(0), 8)
     for q, pos, *negs in rows:
         assert all(int(n) != int(pos) for n in negs), (q, pos, negs)
+
+
+def test_mine_full_neg_cache_union_and_refresh(world):
+    """Reference compute_triplets_full (kitti360:1036-1046): the hardest-
+    negative pool is a neg_samples_num random draw minus soft positives,
+    UNIONED with the query's persistent neg_cache; the selected negatives
+    refresh the cache.  A planted cache entry that is the globally
+    hardest negative must therefore always be selected, regardless of
+    the random draw."""
+    from agplace_tpu.embed import batched_embed_db, batched_embed_q
+
+    cfg, ds, state, embed_q, embed_db = world
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, mining="full"))
+    miner = TripletMiner(cfg, ds)
+
+    db = batched_embed_db(ds, list(range(ds.database_num)), embed_db,
+                          state.params, state.batch_stats, 4)
+    q0 = int(miner.valid_queries[0])
+    qf = batched_embed_q(ds, [q0] * 4, embed_q, state.params,
+                         state.batch_stats, 4, cfg)[0]
+    d = ((db - qf) ** 2).sum(-1)
+    soft = set(ds.soft_positives_per_query[q0].tolist())
+    hardest = min((i for i in range(ds.database_num) if i not in soft),
+                  key=lambda i: d[i])
+    miner.neg_cache[q0] = np.array([hardest], np.int64)
+
+    rows = miner.mine(np.random.default_rng(2), len(miner.valid_queries),
+                      params=state.params, batch_stats=state.batch_stats,
+                      embed_q=embed_q, embed_db=embed_db)
+    _check_rows(rows, ds, cfg.train.negs_num_per_query)
+    row = next(r for r in rows if r[0] == q0)
+    assert hardest in set(int(n) for n in row[2:])
+    # the cache was refreshed with exactly the selected negatives
+    np.testing.assert_array_equal(
+        np.sort(miner.neg_cache[q0]), np.sort(np.unique(row[2:])))
+
+
+def test_mine_partial_pool_overflow_repaired(world):
+    """A query whose soft positives swamp the sampled negative pool used to
+    receive forbidden (soft-positive) rows from top_k's big-distance
+    filler slots.  The host-side repair must substitute non-soft rows
+    whenever one exists (the reference crashes on this input: its ragged
+    triplet tuple breaks the [N, 12] tensor, kitti360:1097)."""
+    import copy
+
+    cfg, ds, state, embed_q, embed_db = world
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, mining="partial_sep",
+                                       neg_samples_num=4))
+    swamped = copy.copy(ds)
+    # every row but 23 is a soft positive of every query: at most one
+    # legitimate negative exists, so with nneg=2 a forbidden slot always
+    # wins before the repair
+    swamped.soft_positives_per_query = [
+        np.arange(ds.database_num - 1)] * ds.queries_num
+    miner = TripletMiner(cfg, swamped)
+    rows = miner.mine(np.random.default_rng(3), 6, params=state.params,
+                      batch_stats=state.batch_stats, embed_q=embed_q,
+                      embed_db=embed_db)
+    last = ds.database_num - 1
+    for q, pos, *negs in rows:
+        assert last in set(int(n) for n in negs), (q, negs)
+        assert all(int(n) != int(pos) for n in negs)

@@ -129,3 +129,27 @@ def test_sharded_int8_candidates_contain_true_topk():
     assert (cand < 1000).all()  # sentinels never make the merged top-nc
     for r in range(q.shape[0]):
         assert set(i_ref[r]) <= set(cand[r]), r
+
+
+def test_sharded_topk_k_in_padding_window_gives_faiss_padding():
+    """10 real rows on an 8-way mesh pad to 16; any k in (10, 16] used to
+    pass the k-vs-PADDED-rows guard and return sentinel pad rows as
+    valid-looking indices 10..15 with ~1e36 distances.  With n_rows the
+    result must carry faiss +inf/-1 padding past row 10 instead."""
+    from agplace_tpu.retrieval.sharded import shard_gallery, sharded_l2_topk
+
+    rng = np.random.default_rng(7)
+    db = rng.standard_normal((10, 16)).astype(np.float32)
+    q = rng.standard_normal((3, 16)).astype(np.float32)
+    mesh = make_mesh(MeshConfig(data_parallel=1, gallery_parallel=8))
+    db_sh = shard_gallery(mesh, db)
+    assert db_sh.shape[0] == 16  # padded
+
+    for k in (12, 16, 20):
+        d, i = sharded_l2_topk(mesh, jnp.asarray(q), db_sh, k, n_rows=10)
+        d, i = np.asarray(d), np.asarray(i)
+        d_ref, i_ref = l2_topk(jnp.asarray(q), jnp.asarray(db), k)
+        np.testing.assert_array_equal(i, np.asarray(i_ref))
+        assert (i[:, 10:] == -1).all() and np.isinf(d[:, 10:]).all()
+        np.testing.assert_allclose(d[:, :10], np.asarray(d_ref)[:, :10],
+                                   rtol=1e-5, atol=1e-6)
