@@ -31,12 +31,16 @@ from agplace_tpu.retrieval.knn import radius_neighbors
 _IMG_EXTS = (".jpg", ".jpeg", ".png")
 
 
-def _parse_utm(path: str) -> Optional[np.ndarray]:
+def _parse_utm(path: str) -> np.ndarray:
     parts = os.path.basename(path).split("@")
     try:
         return np.array([float(parts[1]), float(parts[2])], np.float64)
     except (IndexError, ValueError):
-        return None
+        # name the offending file: a silent None would crash np.stack
+        # during __init__ with an error far from the cause
+        raise ValueError(
+            f"cannot parse @utm_east@utm_north@ from image filename "
+            f"{path!r} (expected e.g. '@584612.5@4477430.1@...')")
 
 
 class FolderDataset(PlaceDataset):

@@ -45,11 +45,14 @@ class CCTTokenizer(nn.Module):
     kernel_size: int = 7
     stride: int = 2
     n_conv_layers: int = 2
+    in_planes: int = 64  # intermediate conv width (tokenizer.py:13,19-21)
 
     @nn.compact
     def __call__(self, x):
-        ch = [self.embed_dim // (2 ** (self.n_conv_layers - 1 - i))
-              for i in range(self.n_conv_layers)]
+        # reference channel schedule: [3] + [in_planes]*(n-1) + [embed_dim]
+        # (n_filter_list, tokenizer.py:19-21) — cct_14_7x2_384 tokenizes
+        # 3 -> 64 -> 384, NOT a halving ladder
+        ch = [self.in_planes] * (self.n_conv_layers - 1) + [self.embed_dim]
         for i in range(self.n_conv_layers):
             x = nn.Conv(ch[i], (self.kernel_size, self.kernel_size),
                         strides=(self.stride, self.stride),

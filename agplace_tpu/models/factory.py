@@ -53,6 +53,26 @@ def make_query_model(cfg: Config, train: bool = False,
     raise NotImplementedError(f"modelq={name}")
 
 
+def db_map_batched(db_map, embed_flat):
+    """The db tower's 5D (cache/test) / 6D (train) entry handling, shared
+    by ``shared_db_apply`` and ``GeoDB``: flatten B*NDB*NMAP maps into one
+    image batch, embed via ``embed_flat`` ([N,H,W,C] -> [N,D]), per-map
+    L2-normalise, mean over map types, restore the entry shape
+    (``dbvanilla2d.py:52-83`` semantics)."""
+    import jax.numpy as jnp
+
+    nd = db_map.ndim
+    if nd == 5:
+        db_map = db_map[:, None]
+    b, ndb, nmap, h, w, c = db_map.shape
+    emb = embed_flat(db_map.reshape(b * ndb * nmap, h, w, c))
+    emb = emb.reshape(b * ndb, nmap, -1)
+    emb = emb / jnp.maximum(
+        jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+    emb = jnp.mean(emb, axis=1).reshape(b, ndb, -1)
+    return emb[:, 0] if nd == 5 else emb
+
+
 def shared_db_apply(modelq: str, model, variables, db_map,
                     mutable: bool = False):
     """``--share_qdb``: embed aerial maps with the QUERY tower
@@ -60,28 +80,21 @@ def shared_db_apply(modelq: str, model, variables, db_map,
     (per-map L2 then mean over map types).  Only coherent for image-only
     query towers — the reference itself crashes with MM
     (``network_mm/mm.py:165-170``)."""
-    import jax.numpy as jnp
-
     if modelq != "geoloc":
         raise NotImplementedError(
             "share_qdb needs an image-only query tower (modelq='geoloc'); "
             "the reference MM raises NotImplementedError identically")
-    nd = db_map.ndim
-    if nd == 5:
-        db_map = db_map[:, None]
-    b, ndb, nmap, h, w, c = db_map.shape
-    flat = db_map.reshape(b * ndb * nmap, h, w, c)
-    if mutable:
-        out, mut = model.apply(variables, flat, mutable=["batch_stats"])
-    else:
-        out, mut = model.apply(variables, flat), {}
-    emb = out["embedding"] if isinstance(out, dict) else out
-    emb = emb.reshape(b * ndb, nmap, -1)
-    emb = emb / jnp.maximum(
-        jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
-    emb = jnp.mean(emb, axis=1).reshape(b, ndb, -1)
-    if nd == 5:
-        emb = emb[:, 0]
+    mut = {}
+
+    def embed_flat(flat):
+        nonlocal mut
+        if mutable:
+            out, mut = model.apply(variables, flat, mutable=["batch_stats"])
+        else:
+            out = model.apply(variables, flat)
+        return out["embedding"] if isinstance(out, dict) else out
+
+    emb = db_map_batched(db_map, embed_flat)
     return emb, mut
 
 
@@ -152,12 +165,7 @@ class GeoDB(nn.Module):
     def __call__(self, db_map):
         from agplace_tpu.models.geoloc import GeoLocalizationNet
 
-        nd = db_map.ndim
-        if nd == 5:
-            db_map = db_map[:, None]
-        b, ndb, nmap, h, w, c = db_map.shape
-        flat = db_map.reshape(b * ndb * nmap, h, w, c)
-        emb = GeoLocalizationNet(
+        net = GeoLocalizationNet(
             backbone=self.cfg.model.backbone,
             aggregation=self.cfg.model.aggregation,
             features_dim=self.cfg.model.features_dim,
@@ -166,11 +174,5 @@ class GeoDB(nn.Module):
             l2=self.cfg.model.l2,
             trunc_te=self.cfg.model.trunc_te,
             train=self.train, axis_name=self.axis_name,
-            name="net")(flat)
-        emb = emb.reshape(b * ndb, nmap, -1)
-        emb = emb / jnp.maximum(
-            jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
-        emb = jnp.mean(emb, axis=1).reshape(b, ndb, -1)
-        if nd == 5:
-            emb = emb[:, 0]
-        return emb
+            name="net")
+        return db_map_batched(db_map, net)

@@ -292,23 +292,33 @@ class Stage2FuseBlockAdd(nn.Module):
                 pool_cls = GridMinkGeM if dense_vox else MinkGeM
                 voxoutvec = pool_cls(name=f"pool_vox_{i}")(voxmap)
 
-            # fold refined maps back into the fused vector
-            imgmap_fuse = nn.Conv(self.fusedim, (1, 1), dtype=self.dtype,
-                                  name=f"proj_img_fuse_{i}")(imgmap)
+            # fold refined maps back into the fused vector; with
+            # use_proj=False the reference appends Identity for
+            # projsimgfuse/projsvoxfuse (stage2fuse_blockadd.py:165-169)
+            # — the raw refined maps pool straight into fusevec.  The img
+            # 1x1 is nn.Conv2d (bias by default, :160-161); the vox 1x1
+            # is ME.MinkowskiConvolution (bias=False default, :162-163)
+            if self.use_proj:
+                imgmap_fuse = nn.Conv(self.fusedim, (1, 1),
+                                      dtype=self.dtype,
+                                      name=f"proj_img_fuse_{i}")(imgmap)
+            else:
+                imgmap_fuse = imgmap
             imgvec_fuse = jnp.mean(imgmap_fuse, axis=(1, 2))
             fusevec = fusevec + imgvec_fuse
             if voxmap is not None:
-                if dense_vox:
+                if not self.use_proj:
+                    voxmap_fuse = voxmap
+                elif dense_vox:
                     voxmap_fuse = GridConv(self.fusedim, kernel_size=1,
-                                           use_bias=True,
                                            name=f"proj_vox_fuse_{i}")(voxmap)
-                    fusevec = fusevec + grid_global_avg(voxmap_fuse)
                 else:
                     voxmap_fuse, _ = SparseConv(self.fusedim, kernel_size=1,
-                                                use_bias=True,
                                                 name=f"proj_vox_fuse_{i}")(
                         voxmap, vox_keys)
-                    fusevec = fusevec + masked_global_avg(voxmap_fuse)
+                fusevec = fusevec + (
+                    grid_global_avg(voxmap_fuse) if dense_vox
+                    else masked_global_avg(voxmap_fuse))
             fusevec = FFNFuse(self.fusedim, self.stg2fuse_type,
                               name=f"ffn_fuse_{i}")(fusevec)
         return fusevec, imgoutvec, voxoutvec

@@ -48,10 +48,15 @@ class BatchNorm2D(nn.Module):
             axes = tuple(range(x.ndim - 1))
             x32 = x.astype(jnp.float32)
             mean = jnp.mean(x32, axis=axes)
-            var = jnp.mean(jnp.square(x32), axis=axes) - jnp.square(mean)
+            msq = jnp.mean(jnp.square(x32), axis=axes)
             if self.axis_name is not None:
+                # pmean the RAW moments, then subtract: pmean of per-shard
+                # variances (computed around per-shard means) would
+                # underestimate the global variance whenever shard means
+                # differ (torch SyncBN reduces E[x] and E[x^2] likewise)
                 mean = jax.lax.pmean(mean, self.axis_name)
-                var = jax.lax.pmean(var, self.axis_name)
+                msq = jax.lax.pmean(msq, self.axis_name)
+            var = msq - jnp.square(mean)
             if not self.is_initializing():
                 ra_mean.value = (self.momentum * ra_mean.value
                                  + (1 - self.momentum) * mean)

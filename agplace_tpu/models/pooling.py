@@ -48,14 +48,6 @@ class MAC(nn.Module):
         return jnp.max(x, axis=(1, 2))
 
 
-def _rmac_region_starts(size: int, n: int) -> jnp.ndarray:
-    """Evenly spaced region offsets, matching the reference RMAC grid
-    (``model/functional.py:43-83``)."""
-    if n <= 1:
-        return jnp.zeros((1,), jnp.int32)
-    return jnp.linspace(0, size, n, dtype=jnp.float32).astype(jnp.int32)
-
-
 class RMAC(nn.Module):
     """Regional MAC: max-pool over a multi-scale grid of square regions,
     L2-normalise each regional vector, and sum (``model/functional.py:43-83``).

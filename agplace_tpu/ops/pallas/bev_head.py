@@ -177,10 +177,15 @@ def fused_head(feats, mask, w0_folded, scale0, bias0, wd_folded, scale_d,
     assert x % 2 == 0 and y % 2 == 0, (x, y)
     k0 = int(w0_folded.shape[0])
     assert k0 % 2 == 1 and k0 <= 5, k0
+    from agplace_tpu.sparse.voxels import me_down_align
+
     zc1 = int(w0_folded.shape[3])
     zc2 = int(wd_folded.shape[3])
-    c1, c2 = zc1 // z, zc2 // ((z + 1) // 2)
-    zo = (z + 1) // 2
+    # ME floor-alignment (me_down_align): z groups are (2m-lo, 2m+1-lo)
+    # — the features side is already encoded in wd_folded (fold_w2_k2s2),
+    # and the occupancy fold below must pair the same cells
+    lo_z, hi_z, zo = me_down_align(z)
+    c1, c2 = zc1 // z, zc2 // zo
     xo, yo = x // 2, y // 2
 
     # XLA-side prep (tiny tensors, fused into the surrounding graph)
@@ -194,16 +199,17 @@ def fused_head(feats, mask, w0_folded, scale0, bias0, wd_folded, scale_d,
     e0 = jnp.repeat(jnp.eye(z, dtype=jnp.float32), c1, axis=1)  # [Z, Z*C1]
     pe = np.zeros((z, zo * c2), np.float32)                     # [Z, Zo*C2]
     for zi in range(z):
-        pe[zi, (zi // 2) * c2 : (zi // 2 + 1) * c2] = 1.0
+        zp = (zi + lo_z) // 2
+        pe[zi, zp * c2 : (zp + 1) * c2] = 1.0
     pe = jnp.asarray(pe)
 
     # down0 output occupancy for the returned grid (maxpool 2x2x2 with
-    # z zero-pad — identical to BEVConv's k2s2 mask rule)
+    # the ME-aligned z pad — identical to BEVConv's k2s2 mask rule)
     import flax.linen as nn
 
     mask_out = nn.max_pool(
         mask[..., None].astype(jnp.float32), (2, 2, 2), strides=(2, 2, 2),
-        padding=[(0, 0), (0, 0), (0, z % 2)])[..., 0] > 0
+        padding=[(0, 0), (0, 0), (lo_z, hi_z)])[..., 0] > 0
 
     interpret = jax.default_backend() != "tpu"
     kernel = functools.partial(_head_kernel, xo=xo, yo=yo, k0=k0, z=z,

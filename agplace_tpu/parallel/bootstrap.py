@@ -72,7 +72,17 @@ def initialize_distributed(
                  jax.process_index(), jax.process_count(),
                  jax.device_count())
         return True
-    except Exception as e:  # already initialised by the launcher, etc.
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            # a launcher beat us to it: the runtime IS up — honour the
+            # documented idempotency (return True, remember it) instead
+            # of re-attempting and re-warning on every call
+            _INITIALIZED = True
+            log.info("jax.distributed already initialized by the launcher")
+            return True
+        log.warning("jax.distributed.initialize failed/skipped: %s", e)
+        return False
+    except Exception as e:
         log.warning("jax.distributed.initialize failed/skipped: %s", e)
         return False
 

@@ -143,15 +143,20 @@ def fold_w2_stride1(kern: jax.Array, z: int) -> jax.Array:
 
 
 def fold_w2_k2s2(kern: jax.Array, z: int) -> jax.Array:
-    """[2,2,2,cin,cout] 3D kernel -> [2,2,z*cin,ceil(z/2)*cout] block 2D
-    kernel for the k=2 stride-2 fold (z_in = 2*z_out + t), shared by
-    BEVConv and the fused Pallas head (ops/pallas/bev_head.py)."""
+    """[2,2,2,cin,cout] 3D kernel -> [2,2,z*cin,z_out*cout] block 2D
+    kernel for the k=2 stride-2 fold, shared by BEVConv and the fused
+    Pallas head (ops/pallas/bev_head.py).  ME floor-alignment: z_in =
+    2*z_out + t - lo with lo = (z//2)%2 (``me_down_align``) — z cells
+    hold coords offset by z//2, so when that offset is odd the ME parent
+    groups are (2m-1, 2m), not (2m, 2m+1)."""
+    from agplace_tpu.sparse.voxels import me_down_align
+
     cin, cout = kern.shape[3], kern.shape[4]
-    z_out = (z + 1) // 2
+    lo, _, z_out = me_down_align(z)
     w2 = jnp.zeros((2, 2, z * cin, z_out * cout), kern.dtype)
     for zo in range(z_out):
         for t in range(2):
-            zi = 2 * zo + t
+            zi = 2 * zo + t - lo
             if 0 <= zi < z:
                 w2 = w2.at[:, :, zi * cin : (zi + 1) * cin,
                            zo * cout : (zo + 1) * cout].set(kern[:, :, t])
@@ -207,10 +212,13 @@ class BEVConv(nn.Module):
             out_mask = g.mask
             w2 = fold_w2_stride1(kern, z)
         elif k == 2 and s == 2:
-            z_out = (z + 1) // 2
-            pad = [(0, g.feats.shape[1] % 2), (0, g.feats.shape[2] % 2)]
+            from agplace_tpu.sparse.voxels import me_down_align
+
+            lo_z, hi_z, z_out = me_down_align(z)
+            pad = [me_down_align(g.feats.shape[1])[:2],
+                   me_down_align(g.feats.shape[2])[:2]]
             spatial_stride = (2, 2)
-            zpad = [(0, z % 2)]
+            zpad = [(lo_z, hi_z)]
             out_mask = nn.max_pool(
                 g.mask[..., None].astype(jnp.float32), (2, 2, 2),
                 strides=(2, 2, 2),
@@ -260,12 +268,17 @@ class BEVBatchNorm(nn.Module):
             b, x, y, zc = g.feats.shape
             f32 = g.feats.reshape(b, x, y, g.z, c).astype(jnp.float32)
             m = g.mask[..., None].astype(jnp.float32)
-            cnt = jnp.maximum(jnp.sum(m), 1.0)
-            mean = jnp.sum(f32 * m, axis=(0, 1, 2, 3)) / cnt
-            var = jnp.sum((f32 - mean) ** 2 * m, axis=(0, 1, 2, 3)) / cnt
+            cnt = jnp.sum(m)
+            s = jnp.sum(f32 * m, axis=(0, 1, 2, 3))
+            sq = jnp.sum(jnp.square(f32) * m, axis=(0, 1, 2, 3))
             if self.axis_name is not None:
-                mean = jax.lax.pmean(mean, self.axis_name)
-                var = jax.lax.pmean(var, self.axis_name)
+                # psum raw (count, sum, sumsq) — see MaskedBatchNorm
+                cnt = jax.lax.psum(cnt, self.axis_name)
+                s = jax.lax.psum(s, self.axis_name)
+                sq = jax.lax.psum(sq, self.axis_name)
+            cnt = jnp.maximum(cnt, 1.0)
+            mean = s / cnt
+            var = jnp.maximum(sq / cnt - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 ra_mean.value = (self.momentum * ra_mean.value
                                  + (1 - self.momentum) * mean)
@@ -371,12 +384,17 @@ def _bn_apply(g: BEVGrid, bn_vars, train: bool, axis_name,
         b, x, y, zc = g.feats.shape
         f32 = g.feats.reshape(b, x, y, g.z, c).astype(jnp.float32)
         m = g.mask[..., None].astype(jnp.float32)
-        cnt = jnp.maximum(jnp.sum(m), 1.0)
-        mean = jnp.sum(f32 * m, axis=(0, 1, 2, 3)) / cnt
-        var = jnp.sum((f32 - mean) ** 2 * m, axis=(0, 1, 2, 3)) / cnt
+        cnt = jnp.sum(m)
+        s = jnp.sum(f32 * m, axis=(0, 1, 2, 3))
+        sq = jnp.sum(jnp.square(f32) * m, axis=(0, 1, 2, 3))
         if axis_name is not None:
-            mean = jax.lax.pmean(mean, axis_name)
-            var = jax.lax.pmean(var, axis_name)
+            # psum raw (count, sum, sumsq) — see MaskedBatchNorm
+            cnt = jax.lax.psum(cnt, axis_name)
+            s = jax.lax.psum(s, axis_name)
+            sq = jax.lax.psum(sq, axis_name)
+        cnt = jnp.maximum(cnt, 1.0)
+        mean = s / cnt
+        var = jnp.maximum(sq / cnt - jnp.square(mean), 0.0)
         if not initializing:
             ra_mean.value = momentum * ra_mean.value + (1 - momentum) * mean
             ra_var.value = momentum * ra_var.value + (1 - momentum) * var
@@ -611,6 +629,12 @@ class BEVMinkFPN(nn.Module):
             and self.num_top_down < n_stages  # full-res g is not a lateral
             and self.conv0_kernel_size in (3, 5)
             and g.feats.shape[1] % 2 == 0 and g.feats.shape[2] % 2 == 0
+            # the fused kernel's z fold is ME-alignment-aware, but its
+            # spatial parity decomposition pairs (2m, 2m+1) — only valid
+            # when the spatial index offsets are even (me_down_align
+            # lo == 0; true for the live 128/64-cell extents)
+            and (g.feats.shape[1] // 2) % 2 == 0
+            and (g.feats.shape[2] // 2) % 2 == 0
             and _pallas_backend_ok())
 
         def bn(name):
@@ -632,14 +656,17 @@ class BEVMinkFPN(nn.Module):
             kdp = _ConvParam(2, self.planes[0], self.planes[0],
                              name="down0")()
             bndp = _BNParam(self.planes[0], name="down_bn0")()
+            from agplace_tpu.sparse.voxels import me_down_align
+
+            z_down = me_down_align(z0)[2]
             w0 = fold_w2_stride1(k0p, z0)
             wd = fold_w2_k2s2(kdp, z0)
             s0, b0 = _bn_eval_affine(bn0p, z0)
-            sd, bd = _bn_eval_affine(bndp, (z0 + 1) // 2)
+            sd, bd = _bn_eval_affine(bndp, z_down)
             feats, mask = fused_head(g.feats, g.mask, w0, s0, b0, wd, sd,
                                      bd, z=z0)
             g = BEVGrid(feats=feats.astype(g.feats.dtype), mask=mask,
-                        z=(z0 + 1) // 2, stride=g.stride * 2)
+                        z=z_down, stride=g.stride * 2)
         else:
             g = BEVConv(self.planes[0], kernel_size=self.conv0_kernel_size,
                         mask_output=False, name="conv0")(g)

@@ -158,8 +158,12 @@ class GridConv(nn.Module):
             pad = [(k // 2, k // 2)] * 3
             out_mask = g.mask
         elif k == 2 and s == 2:
-            # even-size inputs: exact cover; ME floor-alignment
-            pad = [(0, g.feats.shape[1 + i] % 2) for i in range(3)]
+            # ME floor-alignment: low-pad by (cells//2)%2 per dim so the
+            # stride-2 windows pair the cells ME pairs (me_down_align)
+            from agplace_tpu.sparse.voxels import me_down_align
+
+            pad = [me_down_align(g.feats.shape[1 + i])[:2]
+                   for i in range(3)]
             out_mask = nn.max_pool(
                 g.mask[..., None].astype(jnp.float32),
                 (2, 2, 2), strides=(2, 2, 2), padding=pad,
@@ -223,13 +227,18 @@ class GridBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         else:
             m = g.mask[..., None].astype(jnp.float32)
-            cnt = jnp.maximum(jnp.sum(m), 1.0)
+            cnt = jnp.sum(m)
             f32 = g.feats.astype(jnp.float32)
-            mean = jnp.sum(f32 * m, axis=(0, 1, 2, 3)) / cnt
-            var = jnp.sum((f32 - mean) ** 2 * m, axis=(0, 1, 2, 3)) / cnt
+            s = jnp.sum(f32 * m, axis=(0, 1, 2, 3))
+            sq = jnp.sum(jnp.square(f32) * m, axis=(0, 1, 2, 3))
             if self.axis_name is not None:
-                mean = jax.lax.pmean(mean, self.axis_name)
-                var = jax.lax.pmean(var, self.axis_name)
+                # psum raw (count, sum, sumsq) — see MaskedBatchNorm
+                cnt = jax.lax.psum(cnt, self.axis_name)
+                s = jax.lax.psum(s, self.axis_name)
+                sq = jax.lax.psum(sq, self.axis_name)
+            cnt = jnp.maximum(cnt, 1.0)
+            mean = s / cnt
+            var = jnp.maximum(sq / cnt - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 ra_mean.value = (self.momentum * ra_mean.value
                                  + (1 - self.momentum) * mean)
@@ -418,9 +427,14 @@ class GridConvTranspose(nn.Module):
             strides=(2, 2, 2), padding="VALID",
             dimension_numbers=("NHWDC", "HWDIO", "NHWDC"),
         ).astype(coarse.feats.dtype)
-        # crop to the fine grid shape (transpose of the downsample pad)
+        # crop to the fine grid shape (transpose of the downsample pad:
+        # the downsample low-padded by (cells//2)%2 per dim, so the
+        # upsample drops those synthesized low cells)
+        from agplace_tpu.sparse.voxels import me_down_align
+
         fx, fy, fz = fine_mask.shape[1:]
-        out = out[:, :fx, :fy, :fz]
+        lox, loy, loz = (me_down_align(d)[0] for d in (fx, fy, fz))
+        out = out[:, lox : lox + fx, loy : loy + fy, loz : loz + fz]
         out = _mask_feats(out, fine_mask)
         return DenseVoxelGrid(feats=out, mask=fine_mask,
                               stride=coarse.stride // 2)

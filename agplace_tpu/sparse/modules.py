@@ -216,13 +216,22 @@ class MaskedBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         else:
             m = mask[..., None].astype(jnp.float32)
-            cnt = jnp.maximum(jnp.sum(m), 1.0)
+            cnt = jnp.sum(m)
             f32 = feats.astype(jnp.float32)
-            mean = jnp.sum(f32 * m, axis=(0, 1)) / cnt
-            var = jnp.sum((f32 - mean) ** 2 * m, axis=(0, 1)) / cnt
+            s = jnp.sum(f32 * m, axis=(0, 1))
+            sq = jnp.sum(jnp.square(f32) * m, axis=(0, 1))
             if self.axis_name is not None:
-                mean = jax.lax.pmean(mean, self.axis_name)
-                var = jax.lax.pmean(var, self.axis_name)
+                # psum raw (count, sum, sumsq): shards hold different
+                # numbers of valid points, so averaging per-shard stats
+                # would weight them equally and (for variance) subtract
+                # around per-shard means — both wrong (torch SyncBN
+                # reduces the raw moments likewise)
+                cnt = jax.lax.psum(cnt, self.axis_name)
+                s = jax.lax.psum(s, self.axis_name)
+                sq = jax.lax.psum(sq, self.axis_name)
+            cnt = jnp.maximum(cnt, 1.0)
+            mean = s / cnt
+            var = jnp.maximum(sq / cnt - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 ra_mean.value = (self.momentum * ra_mean.value
                                  + (1 - self.momentum) * mean)

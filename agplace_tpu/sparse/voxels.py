@@ -231,6 +231,22 @@ def build_neighbor_table(
     return grid_lookup(grid, nbr_coords, valid)
 
 
+def me_down_align(cells: int) -> Tuple[int, int, int]:
+    """Alignment for a k=2 s=2 downsample of a dense dim with ME floor
+    semantics.  Cell index is i = c/stride + cells//2, and ME groups
+    coordinates by floor((c/stride)/2) — in index space those groups are
+    pairs (2m - lo, 2m + 1 - lo) with lo = (cells//2) % 2, NOT always
+    (2m, 2m+1).  A plain stride-2 conv therefore needs ``lo`` zero cells
+    of low padding (plus ``hi`` high padding to cover evenly) or the
+    deepest levels of the live configs pair the wrong cells (z=2 cells
+    hold coords {-s, 0} whose ME parents are distinct).  Returns
+    (lo, hi, out_cells); out_cells' own index offset out_cells//2 is
+    consistent with the parent coordinates by construction."""
+    lo = (cells // 2) % 2
+    hi = (cells + lo) % 2
+    return lo, hi, (cells + lo + hi) // 2
+
+
 def downsample_coords(sv: SparseVoxels, factor: int
                       ) -> Tuple[jax.Array, jax.Array]:
     """Output coordinate set of a stride-``factor`` conv: unique floor-aligned

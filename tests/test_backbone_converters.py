@@ -375,11 +375,14 @@ class _TorchCCT(tnn.Module):
         class Tok(tnn.Module):
             def __init__(self):
                 super().__init__()
+                # reference n_filter_list = [3, in_planes=64, embed_dim]
+                # (tokenizer.py:13,19-21) — intermediate width is 64
+                # regardless of embed_dim
                 self.conv_layers = tnn.Sequential(
-                    tnn.Sequential(tnn.Conv2d(3, dim // 2, 7, 2, 3,
+                    tnn.Sequential(tnn.Conv2d(3, 64, 7, 2, 3,
                                               bias=False), tnn.ReLU(),
                                    tnn.MaxPool2d(3, 2, 1)),
-                    tnn.Sequential(tnn.Conv2d(dim // 2, dim, 7, 2, 3,
+                    tnn.Sequential(tnn.Conv2d(64, dim, 7, 2, 3,
                                               bias=False), tnn.ReLU(),
                                    tnn.MaxPool2d(3, 2, 1)),
                 )
@@ -417,7 +420,7 @@ def test_cct_converter_matches_torch():
     from agplace_tpu.models.cct import CCT
     from agplace_tpu.utils.torch_convert import convert_cct
 
-    dim, heads, layers = 64, 4, 2
+    dim, heads, layers = 96, 4, 2  # dim != 64 separates embed/in_planes
     x = _rand_img((2, 3, 64, 64), seed=7)  # tokenizer /16 -> 4x4=16 tokens
     tc = _TorchCCT(dim, heads, layers, n_tokens=16).eval()
     with torch.no_grad():
@@ -432,6 +435,16 @@ def test_cct_converter_matches_torch():
                                want_tokens.numpy(), rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(got_pooled),
                                want_pooled.numpy(), rtol=2e-3, atol=2e-3)
+
+    # the flax init tree must match the converted tree leaf-for-leaf
+    # (shape included) or real-checkpoint grafts/restores shape-mismatch —
+    # the tokenizer's 3->64->embed_dim schedule was wrong before (a
+    # halving ladder), which apply()-based parity alone cannot catch
+    tmpl = m.init(jax.random.PRNGKey(0),
+                  jax.numpy.asarray(_nhwc(x)))["params"]
+    t1 = jax.tree_util.tree_map(lambda a: a.shape, tmpl)
+    t2 = jax.tree_util.tree_map(lambda a: np.asarray(a).shape, params)
+    assert t1 == t2
 
 
 def test_cct_pos_embed_grid_resize():

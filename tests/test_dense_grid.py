@@ -165,3 +165,64 @@ def test_grid_global_max():
     m = np.asarray(sv.mask)
     for b in range(2):
         np.testing.assert_allclose(mx[b], f[b][m[b]].max(0), rtol=1e-5)
+
+
+def _sv_in_extent(rng, b, n, ext):
+    """Coords strictly inside the extent (no boundary clamping), so
+    backend differences are pure convolution semantics."""
+    hx, hy, hz = ext[0] // 2, ext[1] // 2, ext[2] // 2
+    coords = np.zeros((b, n, 3), np.int32)
+    mask = np.zeros((b, n), bool)
+    for i in range(b):
+        all_c = np.stack(
+            np.meshgrid(np.arange(-hx, hx), np.arange(-hy, hy),
+                        np.arange(-hz, hz), indexing="ij"),
+            -1).reshape(-1, 3)
+        take = rng.choice(len(all_c), size=n // 2, replace=False)
+        coords[i, : n // 2] = all_c[take]
+        mask[i, : n // 2] = True
+    feats = rng.standard_normal((b, n, 1)).astype(np.float32)
+    feats[~mask] = 0
+    return SparseVoxels(coords=jnp.asarray(coords), feats=jnp.asarray(feats),
+                        mask=jnp.asarray(mask), stride=1)
+
+
+def _map_params(tree, name=None):
+    if isinstance(tree, dict):
+        return {k: _map_params(v, k) for k, v in tree.items()}
+    arr = np.asarray(tree)
+    if name == "kernel":
+        if arr.ndim == 2:
+            return jnp.asarray(arr.reshape(1, 1, 1, *arr.shape))
+        if arr.ndim == 3:
+            k = round(arr.shape[0] ** (1 / 3))
+            assert k ** 3 == arr.shape[0]
+            return jnp.asarray(arr.reshape(k, k, k, *arr.shape[1:]))
+    return jnp.asarray(arr)
+
+
+def test_dense_fpn_matches_sparse_at_shallow_z_extents():
+    """ME floor-alignment at odd index offsets (me_down_align): a k=2 s=2
+    conv on a dim with (cells//2) odd must pair cells (2m-1, 2m), not
+    (2m, 2m+1) — the LIVE configs hit this at their deepest z levels
+    (z extent 4 -> 2 cells hold coords {-s, 0} with DISTINCT ME parents).
+    Pre-fix this diverged at rel ~1.8 and collapsed z to 1 cell."""
+    for ext in [(16, 16, 4), (16, 16, 2), (8, 8, 4)]:
+        rng = np.random.default_rng(2)
+        svs, _ = sort_by_key(_sv_in_extent(rng, 2, 64, ext))
+        sp = MinkFPN(out_channels=16, planes=(8, 8, 16), layers=(1, 1, 1),
+                     num_top_down=0, block="eca", train=False)
+        svars = sp.init(jax.random.PRNGKey(0), svs)
+        s_out, _, _ = sp.apply(svars, svs)
+        dn = DenseMinkFPN(out_channels=16, planes=(8, 8, 16),
+                          layers=(1, 1, 1), num_top_down=0, block="eca",
+                          train=False)
+        dvars = {"params": _map_params(svars["params"]),
+                 "batch_stats": svars.get("batch_stats", {})}
+        d_out, _ = dn.apply(dvars, densify(svs, extent=ext))
+        assert d_out.feats.shape[3] == 2, ext  # ME keeps 2 z-parents
+        back = _gather_dense(d_out, s_out)
+        m = np.asarray(s_out.mask)
+        got = np.asarray(s_out.feats)
+        np.testing.assert_allclose(back[m], got[m], rtol=0.05, atol=0.05,
+                                   err_msg=str(ext))

@@ -77,10 +77,13 @@ def test_fused_head_matches_xla(xy, z, c0, c1, k0):
     vs = _rand_vars(mod, g, rng, 0)
     ref = mod.apply(vs, g)
 
+    from agplace_tpu.sparse.voxels import me_down_align
+
+    zo = me_down_align(z)[2]  # ME-aligned z (z=2 keeps 2 parents, z=3 -> 2)
     w0 = fold_w2_stride1(vs["params"]["conv0"]["kernel"], z)
     wd = fold_w2_k2s2(vs["params"]["down0"]["kernel"], z)
     s0, b0 = _affine(vs, "bn0", z)
-    sd, bd = _affine(vs, "down_bn0", (z + 1) // 2)
+    sd, bd = _affine(vs, "down_bn0", zo)
     out, m1 = fused_head(g.feats, g.mask, w0, s0, b0, wd, sd, bd, z=z)
 
     assert bool(jnp.all(m1 == ref.mask))
@@ -88,7 +91,6 @@ def test_fused_head_matches_xla(xy, z, c0, c1, k0):
                                np.asarray(ref.feats, np.float32),
                                rtol=2e-2, atol=2e-2)
     # masked structure: zero at invalid output sites
-    zo = (z + 1) // 2
     mf = np.repeat(np.asarray(m1), out.shape[-1] // zo, axis=-1)
     assert np.all(np.asarray(out, np.float32) * (1 - mf) == 0)
 

@@ -153,3 +153,72 @@ def test_sharded_topk_k_in_padding_window_gives_faiss_padding():
         assert (i[:, 10:] == -1).all() and np.isinf(d[:, 10:]).all()
         np.testing.assert_allclose(d[:, :10], np.asarray(d_ref)[:, :10],
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_syncbn_moments_match_global_stats():
+    """Cross-replica BN under shard_map must equal single-device BN on the
+    concatenated batch — shards with different means (and, for the masked
+    twin, different valid counts) expose the old pmean-of-variances /
+    equal-shard-weight bias (r3 review fix: psum raw moments)."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from agplace_tpu.models.norm import BatchNorm2D
+    from agplace_tpu.sparse.modules import MaskedBatchNorm
+
+    mesh = make_mesh(MeshConfig(data_parallel=8, gallery_parallel=1))
+    rng = np.random.default_rng(0)
+    # per-shard means differ strongly: shard i centered at 5*i
+    x = np.concatenate([
+        5.0 * i + rng.standard_normal((2, 4, 4, 3)).astype(np.float32)
+        for i in range(8)])
+
+    bn = BatchNorm2D()
+    v = bn.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    want, wmut = bn.apply(v, jnp.asarray(x), mutable=["batch_stats"])
+
+    bn_sync = BatchNorm2D(axis_name="data")
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=P("data"),
+             out_specs=(P("data"), P()), check_vma=False)
+    def run(xs):
+        out, mut = bn_sync.apply(v, xs, mutable=["batch_stats"])
+        return out, mut["batch_stats"]
+
+    got, stats = run(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(stats[k]), np.asarray(wmut["batch_stats"][k]),
+            rtol=1e-4, atol=1e-4)
+
+    # masked twin: wildly different valid counts per shard
+    feats = np.concatenate([
+        3.0 * i + rng.standard_normal((1, 16, 3)).astype(np.float32)
+        for i in range(8)])
+    mask = np.zeros((8, 16), bool)
+    for i in range(8):
+        mask[i, : 2 + i] = True  # 2..9 valid points per shard
+
+    mbn = MaskedBatchNorm()
+    mv = mbn.init(jax.random.PRNGKey(1), jnp.asarray(feats),
+                  jnp.asarray(mask))
+    want_m, wmut_m = mbn.apply(mv, jnp.asarray(feats), jnp.asarray(mask),
+                               mutable=["batch_stats"])
+    mbn_sync = MaskedBatchNorm(axis_name="data")
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P("data"), P("data")),
+             out_specs=(P("data"), P()), check_vma=False)
+    def run_m(f, m):
+        out, mut = mbn_sync.apply(mv, f, m, mutable=["batch_stats"])
+        return out, mut["batch_stats"]
+
+    got_m, stats_m = run_m(jnp.asarray(feats), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(got_m), np.asarray(want_m),
+                               rtol=1e-4, atol=1e-4)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(stats_m[k]), np.asarray(wmut_m["batch_stats"][k]),
+            rtol=1e-4, atol=1e-4)
