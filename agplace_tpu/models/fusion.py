@@ -55,7 +55,10 @@ class FCODE(nn.Module):
 
         n_steps = max(int(-(-1.0 // self.ode.step_size)), 1)
         uniform_steps = abs(n_steps * self.ode.step_size - 1.0) < 1e-9
+        import os
+
         if (self.ode.use_pallas and self.ode.method == "euler"
+                and not os.environ.get("AGPLACE_DISABLE_PALLAS")
                 and uniform_steps and x.ndim == 2
                 and self.act in ("relu", "tanh", "sigmoid", "id", None)):
             # fused VMEM-resident Euler chain (Pallas kernel; exact same

@@ -26,12 +26,21 @@ _tried = False
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC, "-lpthread"]
+    # compile to a process-private temp path, then atomically rename:
+    # concurrent builders (DataLoader workers, parallel pytest) must never
+    # dlopen a partially written .so
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC, "-lpthread"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB)
         return True
     except Exception as e:  # compiler missing / failed: numpy fallback
         logging.getLogger("native").warning("voxelizer build failed: %s", e)
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -43,7 +52,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if not os.path.exists(_LIB) or (
         os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
     ):
-        if not _build():
+        # a failed rebuild (no g++) falls through to load any existing
+        # .so: a checked-out prebuilt library with an arbitrary mtime
+        # beats the numpy fallback
+        if not _build() and not os.path.exists(_LIB):
             return None
     try:
         lib = ctypes.CDLL(_LIB)
@@ -67,6 +79,11 @@ def voxelize_batch_native(points: np.ndarray, quant_size: float,
                           n_threads: int = 8):
     """[B, P, 3] float32 (NaN-padded) -> (coords [B,cap,3] i32,
     mask [B,cap] bool), or None if the native lib is unavailable."""
+    if grid_radius > 512:
+        # pack() offsets each coordinate by +512 into 10 bits
+        # (voxelizer.cpp pack); larger radii would silently alias keys
+        raise ValueError(f"grid_radius {grid_radius} > 512: exceeds the "
+                         f"10-bit packed-key range of the native voxelizer")
     lib = get_lib()
     if lib is None:
         return None

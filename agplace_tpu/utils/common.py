@@ -87,20 +87,21 @@ class PhaseTimer:
 
     def __init__(self):
         self.totals: Dict[str, float] = {}
-        self._name: Optional[str] = None
-        self._t0 = 0.0
+        self._stack: list = []  # (name, t0) — reentrant for nested phases
 
     def __call__(self, name: str):
-        self._name = name
+        self._stack.append((name, None))
         return self
 
     def __enter__(self):
-        self._t0 = time.perf_counter()
+        name, _ = self._stack[-1]
+        self._stack[-1] = (name, time.perf_counter())
         return self
 
     def __exit__(self, *exc):
-        dt = time.perf_counter() - self._t0
-        self.totals[self._name] = self.totals.get(self._name, 0.0) + dt
+        name, t0 = self._stack.pop()
+        dt = time.perf_counter() - t0
+        self.totals[name] = self.totals.get(name, 0.0) + dt
         return False
 
 

@@ -24,6 +24,13 @@ class PCA:
 
     def fit(self, x: np.ndarray) -> "PCA":
         x = np.asarray(x, np.float64)
+        if min(x.shape) < self.dim:
+            # SVD yields only min(n, d) components; silently returning
+            # fewer would change transform()'s output dimensionality
+            # (sklearn PCA raises here too)
+            raise ValueError(
+                f"PCA dim {self.dim} needs a fit matrix with >= {self.dim} "
+                f"rows and columns, got {x.shape}")
         self.mean_ = x.mean(axis=0)
         xc = x - self.mean_
         _, s, vt = np.linalg.svd(xc, full_matrices=False)

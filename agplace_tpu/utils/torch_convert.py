@@ -51,9 +51,7 @@ def convert_resnet(
     ``state_dict`` values may be torch tensors or numpy arrays (anything
     ``np.asarray`` accepts).
     """
-    sd = {k: np.asarray(getattr(v, "detach", lambda: v)().cpu().numpy()
-                        if hasattr(v, "detach") else v)
-          for k, v in state_dict.items()}
+    sd = {k: _np(v) for k, v in state_dict.items()}
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
 

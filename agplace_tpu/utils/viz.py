@@ -47,7 +47,8 @@ def viz_retrievals(query_img: np.ndarray, retrieved: Sequence[np.ndarray],
     import matplotlib.pyplot as plt
 
     n = 1 + len(retrieved)
-    fig, axes = plt.subplots(1, n, figsize=(2.2 * n, 2.6))
+    fig, axes = plt.subplots(1, n, figsize=(2.2 * n, 2.6), squeeze=False)
+    axes = axes[0]  # n == 1 (no retrievals) still indexes fine
     def show(ax, img, title, color=None):
         img = np.asarray(img)
         lo, hi = img.min(), img.max()

@@ -98,9 +98,10 @@ def main() -> None:
     float(y)  # forces the whole chain
     dt = (time.perf_counter() - t0) / INNER
 
-    desc_per_sec = BATCH * ITERS / dt
-    n_chips = max(jax.device_count(), 1)
-    value = desc_per_sec / n_chips
+    # the jitted fns run unsharded on ONE device, so the measured
+    # throughput already IS per-chip — dividing by jax.device_count()
+    # would under-report n-fold on a multi-chip host
+    value = desc_per_sec = BATCH * ITERS / dt
 
     # achieved FLOPs/s vs v5e bf16 peak (197 TFLOP/s), from XLA's own cost
     # analysis.  The fused Pallas blocks hide their FLOPs inside a
@@ -114,12 +115,14 @@ def main() -> None:
 
     os.environ["AGPLACE_DISABLE_PALLAS"] = "1"
     try:
+        # pass buffers as lowering ARGS, never closures: baked constants
+        # are the remote relay's documented 413 failure mode
+        emb_fn = lambda v, im, vx: mm.apply(v, im, vx)["embedding"]
         flops = -1.0
         for attempt in range(2):  # the remote-compile relay is flaky
             try:
                 flops = cost_analysis(
-                    lambda: mm.apply(variables, images, vox)["embedding"]
-                )["flops"]
+                    emb_fn, variables, images, vox)["flops"]
                 break
             except Exception as e:
                 print(f"cost_analysis attempt {attempt}: {e!r}",
@@ -131,8 +134,7 @@ def main() -> None:
             try:
                 small = jax.tree_util.tree_map(lambda a: a[:8], (images, vox))
                 flops = cost_analysis(
-                    lambda: mm.apply(variables, *small)["embedding"]
-                )["flops"] * (BATCH / 8)
+                    emb_fn, variables, *small)["flops"] * (BATCH / 8)
             except Exception as e:
                 print(f"cost_analysis fallback: {e!r}", file=sys.stderr)
     finally:

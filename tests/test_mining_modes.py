@@ -93,21 +93,29 @@ def test_mine_random_negatives_without_replacement(world):
 
 
 def test_evaluate_with_pca_dim(world):
-    """Full-rank PCA is a rigid rotation (+centering) of descriptor space,
-    so recalls must be identical to no-PCA; a lower pca_dim must run and
-    return valid recalls."""
+    """Rank-complete PCA (dim = gallery rows, the full span of the 24-row
+    fit matrix) preserves recalls; a lower pca_dim must run and return
+    valid recalls; and over-rank pca_dim raises like sklearn (the
+    reference's compute_pca backend) instead of silently changing the
+    output dimensionality."""
     cfg, ds, state, embed_q, embed_db = world
     from agplace_tpu.evaluate import evaluate
 
     base, _ = evaluate(cfg, ds, state.params, state.batch_stats,
                        embed_q, embed_db)
 
-    full_dim = 256  # descriptor dim (cfg.model.mm defaults)
+    full_dim = ds.database_num  # the fit matrix's full rank span
     cfg_full = dataclasses.replace(
         cfg, eval=dataclasses.replace(cfg.eval, pca_dim=full_dim))
     r_full, _ = evaluate(cfg_full, ds, state.params, state.batch_stats,
                          embed_q, embed_db)
     np.testing.assert_array_equal(base, r_full)
+
+    cfg_over = dataclasses.replace(
+        cfg, eval=dataclasses.replace(cfg.eval, pca_dim=256))
+    with pytest.raises(ValueError, match="PCA dim"):
+        evaluate(cfg_over, ds, state.params, state.batch_stats,
+                 embed_q, embed_db)
 
     cfg_low = dataclasses.replace(
         cfg, eval=dataclasses.replace(cfg.eval, pca_dim=8))
