@@ -80,8 +80,18 @@ def sharded_l2_candidates_int8(mesh: Mesh, queries, quant_gallery, nc: int,
     db_i8, scale, sq = quant_gallery
     n_shards = mesh.shape[axis]
     shard_rows = db_i8.shape[0] // n_shards
-    nc_local = min(nc, shard_rows)
+    return _sharded_int8_fn(mesh, axis, shard_rows,
+                            min(nc, shard_rows), nc)(
+        queries, db_i8, scale, sq)
 
+
+@functools.lru_cache(maxsize=128)
+def _sharded_int8_fn(mesh: Mesh, axis: str, shard_rows: int, nc_local: int,
+                     nc: int):
+    """Cached jitted shard_map int8 candidate scan (see
+    :func:`_sharded_topk_fn`)."""
+
+    @jax.jit
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
@@ -114,7 +124,7 @@ def sharded_l2_candidates_int8(mesh: Mesh, queries, quant_gallery, nc: int,
         best_idx = jnp.take_along_axis(cand_i, slot, axis=1)
         return -best_neg, best_idx
 
-    return search(queries, db_i8, scale, sq)
+    return search
 
 
 def sharded_l2_topk(mesh: Mesh, queries, database_sharded, k: int,
@@ -144,8 +154,19 @@ def sharded_l2_topk(mesh: Mesh, queries, database_sharded, k: int,
         from agplace_tpu.retrieval.knn import l2_topk
 
         return l2_topk(queries, database_sharded[:n_rows], k)
-    k_local = min(k, shard_rows)
+    return _sharded_topk_fn(mesh, axis, shard_rows,
+                            min(k, shard_rows), k)(
+        queries, database_sharded)
 
+
+@functools.lru_cache(maxsize=128)
+def _sharded_topk_fn(mesh: Mesh, axis: str, shard_rows: int, k_local: int,
+                     k: int):
+    """Cached jitted shard_map search: a long-lived server must not
+    re-trace the collective program on every call (jax caches per input
+    shape inside the returned jit)."""
+
+    @jax.jit
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
@@ -170,4 +191,4 @@ def sharded_l2_topk(mesh: Mesh, queries, database_sharded, k: int,
         best_idx = jnp.take_along_axis(cand_i, slot, axis=1)
         return -best_neg, best_idx
 
-    return search(queries, database_sharded)
+    return search

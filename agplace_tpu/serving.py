@@ -76,21 +76,12 @@ class PlaceIndex:
         build an index.  ``sample_batch``: any collated train batch for the
         restore template; built from a synthetic world when omitted."""
         from agplace_tpu.train.checkpoint import CheckpointManager
-        from agplace_tpu.train.step import init_state
+        from agplace_tpu.train.step import init_state, template_state
 
         if sample_batch is None:
-            from agplace_tpu.data.base import collate_train
-            from agplace_tpu.data.synthetic import SyntheticDataset
-            from agplace_tpu.train.mining import TripletMiner
-
-            ds = SyntheticDataset(
-                n_db=8, n_q=4, image_size=cfg.data.q_resize,
-                n_points=64, nmap=cfg.data.nmap, seed=0)
-            rng = np.random.default_rng(0)
-            rows = TripletMiner(cfg, ds).mine_random(
-                rng, cfg.train.train_batch_size)
-            sample_batch = collate_train(ds, rows, cfg, rng)
-        template = init_state(cfg, jax.random.PRNGKey(0), sample_batch)
+            template = template_state(cfg)
+        else:
+            template = init_state(cfg, jax.random.PRNGKey(0), sample_batch)
         state, _ = CheckpointManager(save_dir).restore(name, template)
         return cls(cfg, state.params, state.batch_stats,
                    gallery_mesh=gallery_mesh, quant=quant)
@@ -229,6 +220,9 @@ class PlaceIndex:
                                  f"this build ({self.GALLERY_VERSION})")
             feats = z["feats"]
             pos = z["positions"] if "positions" in z.files else None
+        if not np.isfinite(feats).all():
+            raise ValueError(f"gallery {path!r} contains non-finite "
+                             f"descriptors")
         return self.add_descriptors(feats, positions=pos)
 
     @classmethod
@@ -253,8 +247,12 @@ class PlaceIndex:
         bs = self.cfg.train.infer_batch_size
         images = np.asarray(images, np.float32)
         n = images.shape[0]
+        if n == 0:
+            return np.zeros((0, self.cfg.model.features_dim), np.float32)
         if points is None:
             points = np.full((n, 1, 3), np.nan, np.float32)
+        elif len(points) != n:
+            raise ValueError(f"{len(points)} point clouds for {n} images")
         outs = []
         for s in range(0, n, bs):
             im = images[s : s + bs]
@@ -301,26 +299,48 @@ class PlaceIndex:
         return np.where((i >= 0)[..., None],
                         pos[np.clip(i, 0, None)], np.nan)
 
+    @staticmethod
+    def _pow2(n: int, lo: int = 1) -> int:
+        return max(lo, 1 << (max(n, 1) - 1).bit_length())
+
     def search_descriptors(self, q_feats: np.ndarray, k: int
                            ) -> Tuple[np.ndarray, np.ndarray]:
+        # shape-stable serving: bucket the query count (pad with copies
+        # of the last row) and the device-side k to powers of two, then
+        # slice — otherwise every distinct (Q, k) pays a full trace +
+        # compile on the jitted search path, the exact hot path a
+        # long-lived index exists for
+        q = np.asarray(q_feats, np.float32)
+        nq = q.shape[0]
+        if nq == 0:
+            return (np.zeros((0, k), np.float32),
+                    np.zeros((0, k), np.int64))
+        bq = self._pow2(nq, lo=8)
+        if bq != nq:
+            q = np.concatenate([q, np.repeat(q[-1:], bq - nq, 0)])
+        d, i = self._search_impl(q, k)
+        return d[:nq], i[:nq]
+
+    def _search_impl(self, q: np.ndarray, k: int
+                     ) -> Tuple[np.ndarray, np.ndarray]:
         from agplace_tpu.retrieval.knn import l2_topk_blocked
 
         if self.quant == "int8":
-            return self._search_int8(np.asarray(q_feats, np.float32), k)
+            return self._search_int8(q, k)
         if self._sharded() and k <= self._n_rows:
             from agplace_tpu.retrieval.sharded import sharded_l2_topk
 
-            d, i = sharded_l2_topk(self.gallery_mesh,
-                                   jnp.asarray(np.asarray(q_feats)),
-                                   self._device_gallery(), k,
+            k_dev = min(self._pow2(k), self._n_rows)
+            d, i = sharded_l2_topk(self.gallery_mesh, jnp.asarray(q),
+                                   self._device_gallery(), k_dev,
                                    n_rows=self._n_rows)
-            return np.asarray(d), np.asarray(i)
+            return np.asarray(d)[:, :k], np.asarray(i)[:, :k]
         if self._sharded():  # k > rows: tiny gallery, use the blocked path
             db = jnp.asarray(self._host_gallery())
         else:
             db = self._device_gallery()
-        d, i = l2_topk_blocked(np.asarray(q_feats), db, k)
-        return np.asarray(d), np.asarray(i)
+        d, i = l2_topk_blocked(q, db, self._pow2(k))
+        return np.asarray(d)[:, :k], np.asarray(i)[:, :k]
 
     def _search_int8(self, q: np.ndarray, k: int
                      ) -> Tuple[np.ndarray, np.ndarray]:
@@ -334,7 +354,7 @@ class PlaceIndex:
         # misses need two descriptors within ~1/127 of each other AND
         # outside the margin, which exact re-rank then cannot fix — the
         # parity test pins this on realistic L2-normalised descriptors.
-        nc = min(max(4 * kk, 16), self._n_rows)
+        nc = min(self._pow2(4 * kk, lo=16), self._n_rows)
         quant_gal = self._device_gallery_int8()
         if self._sharded():
             from agplace_tpu.retrieval.sharded import (

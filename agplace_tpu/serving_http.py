@@ -48,9 +48,13 @@ def make_http_server(index, host: str = "127.0.0.1", port: int = 0
             self.end_headers()
             self.wfile.write(body)
 
+        MAX_BODY = 256 << 20  # network input: bound allocations
+
         def _body(self) -> Optional[dict]:
             try:
                 n = int(self.headers.get("Content-Length", 0))
+                if not 0 <= n <= self.MAX_BODY:
+                    return None
                 return json.loads(self.rfile.read(n))
             except (ValueError, json.JSONDecodeError):
                 return None
@@ -65,11 +69,18 @@ def make_http_server(index, host: str = "127.0.0.1", port: int = 0
                     "positions": index.positions is not None})
 
         def do_POST(self):
-            if self.path == "/search":
-                return self._search()
-            if self.path == "/add":
-                return self._add()
-            self._reply(404, {"error": "not found"})
+            try:
+                if self.path == "/search":
+                    return self._search()
+                if self.path == "/add":
+                    return self._add()
+                self._reply(404, {"error": "not found"})
+            except Exception as e:  # backend failure: 500, not a dropped
+                # connection (device OOM, shape errors out of jit, ...)
+                try:
+                    self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+                except Exception:
+                    pass
 
         def _parse_desc(self, req: dict) -> Tuple[Optional[np.ndarray], str]:
             try:
@@ -91,8 +102,9 @@ def make_http_server(index, host: str = "127.0.0.1", port: int = 0
                 k = int(req.get("k", 5))
             except (TypeError, ValueError):
                 return self._reply(400, {"error": "k must be an integer"})
-            if k < 1:
-                return self._reply(400, {"error": "k must be >= 1"})
+            if not 1 <= k <= 65536:
+                return self._reply(400, {
+                    "error": "k must be in [1, 65536]"})
             with lock:
                 if len(index) == 0:
                     return self._reply(409, {"error": "empty index"})
@@ -110,7 +122,7 @@ def make_http_server(index, host: str = "127.0.0.1", port: int = 0
                 else:
                     d, i = index.search_descriptors(q, k=k)
             out["sq_distances"] = [
-                [None if np.isinf(v) else float(v) for v in row]
+                [None if not np.isfinite(v) else float(v) for v in row]
                 for row in d]
             out["indices"] = i.astype(int).tolist()
             self._reply(200, out)
@@ -128,7 +140,7 @@ def make_http_server(index, host: str = "127.0.0.1", port: int = 0
                     pos = np.asarray(pos, np.float64)
                 with lock:
                     n = index.add_descriptors(feats, positions=pos)
-            except ValueError as e:
+            except (ValueError, TypeError) as e:
                 return self._reply(400, {"error": str(e)})
             self._reply(200, {"rows": n})
 
@@ -158,14 +170,21 @@ class ShardedSearchClient:
     """
 
     def __init__(self, urls, timeout: float = 30.0):
-        import urllib.request
-
         self.urls = list(urls)
         self.timeout = timeout
+        self.refresh()
+
+    def refresh(self) -> None:
+        """Re-read every node's row count; global index = offset in node
+        order + local index.  Called at construction and before every
+        search — an /add on a non-terminal node between searches would
+        otherwise silently shift every later node's global indices."""
+        import urllib.request
+
         self._rows = []
         for u in self.urls:
             with urllib.request.urlopen(u.rstrip("/") + "/healthz",
-                                        timeout=timeout) as r:
+                                        timeout=self.timeout) as r:
                 self._rows.append(int(json.loads(r.read())["rows"]))
         self.offsets = np.concatenate(
             [[0], np.cumsum(self._rows[:-1])]).astype(np.int64)
@@ -190,10 +209,30 @@ class ShardedSearchClient:
         q = np.asarray(descriptors, np.float32)
         payload = {"descriptors": q.tolist(), "k": k}
         import concurrent.futures as cf
+        import urllib.error
+
+        self.refresh()  # /adds since the last search move row offsets
+
+        def ask(u_rows):
+            u, rows = u_rows
+            if rows == 0:  # a node awaiting its gallery contributes
+                return None  # nothing (its /search would 409)
+            try:
+                return self._post(u, payload)
+            except urllib.error.HTTPError as e:
+                if e.code == 409:
+                    return None
+                raise
 
         with cf.ThreadPoolExecutor(len(self.urls)) as ex:
-            replies = list(ex.map(
-                lambda u: self._post(u, payload), self.urls))
+            replies = list(ex.map(ask, zip(self.urls, self._rows)))
+        offsets = [o for o, rep in zip(self.offsets, replies)
+                   if rep is not None]
+        replies = [rep for rep in replies if rep is not None]
+        if not replies:  # every node empty: pure faiss padding
+            return (np.full((len(q), k), np.inf, np.float32),
+                    np.full((len(q), k), -1, np.int64),
+                    None)
 
         def col(rep, key, fill):
             rows = rep[key]
@@ -205,7 +244,7 @@ class ShardedSearchClient:
         i = np.concatenate(
             [np.where(np.asarray(rep["indices"]) >= 0,
                       np.asarray(rep["indices"], np.int64) + off, -1)
-             for rep, off in zip(replies, self.offsets)], axis=1)
+             for rep, off in zip(replies, offsets)], axis=1)
         has_pos = all("east_north" in rep for rep in replies)
         if has_pos:
             pos = np.concatenate(

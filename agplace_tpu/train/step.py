@@ -103,6 +103,26 @@ def init_state(cfg: Config, rng: jax.Array, sample_batch,
     return TrainState.create(params, batch_stats, tx)
 
 
+def template_state(cfg: Config, seed: int = 0):
+    """A checkpoint-restore template built from a tiny synthetic world —
+    evaluation/serving entries need the state's SHAPES, not real data, so
+    paying a real-dataset walk + mining pass for the template is waste.
+    Shapes depend only on cfg (models are shape-polymorphic over batch)."""
+    from agplace_tpu.data.base import collate_train
+    from agplace_tpu.data.synthetic import SyntheticDataset
+    from agplace_tpu.train.mining import TripletMiner
+
+    import numpy as np
+
+    ds = SyntheticDataset(n_db=8, n_q=4, image_size=cfg.data.q_resize,
+                          n_points=64, nmap=cfg.data.nmap, seed=seed)
+    rng = np.random.default_rng(seed)
+    rows = TripletMiner(cfg, ds).mine_random(
+        rng, cfg.train.train_batch_size)
+    batch = collate_train(ds, rows, cfg, rng)
+    return init_state(cfg, jax.random.PRNGKey(seed), batch)
+
+
 def merge_pretrained_subtree(dst: dict, src: dict, where: str,
                              dropped: list) -> dict:
     """Overlay converted-weights ``src`` onto model-template ``dst``

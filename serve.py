@@ -92,12 +92,14 @@ def _search(own, rest) -> None:
     from agplace_tpu.serving import PlaceIndex
 
     assert own.gallery, "search needs --gallery <file.npz or http://node,..>"
-    if own.gallery.startswith("http"):
+    if own.gallery.startswith(("http://", "https://")):
         # scatter-gather across searcher nodes (`serve.py http` instances)
         from agplace_tpu.serving_http import ShardedSearchClient
 
         assert own.queries is not None, \
             "node search takes pre-computed --queries descriptors"
+        assert own.quant is None, \
+            "--quant applies node-side (serve.py http), not to the client"
         client = ShardedSearchClient(own.gallery.split(","))
         q = np.load(own.queries).astype(np.float32)
         _print_rows(*client.search(q, k=own.k))

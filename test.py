@@ -9,11 +9,7 @@ from __future__ import annotations
 
 import logging
 
-import jax
-import numpy as np
-
 from agplace_tpu.config import parse_arguments
-from agplace_tpu.data.base import collate_train
 from agplace_tpu.evaluate import evaluate
 from agplace_tpu.parallel.mesh import (
     replicate_tree,
@@ -21,8 +17,7 @@ from agplace_tpu.parallel.mesh import (
     resolve_gallery_mesh,
 )
 from agplace_tpu.train.checkpoint import CheckpointManager
-from agplace_tpu.train.mining import TripletMiner
-from agplace_tpu.train.step import init_state, make_infer_fns
+from agplace_tpu.train.step import make_infer_fns, template_state
 from agplace_tpu.utils.common import setup_logging
 
 
@@ -33,20 +28,23 @@ def main() -> None:
 
     from train import build_datasets
 
-    train_ds, test_ds = build_datasets(cfg)
+    _, test_ds = build_datasets(cfg)
 
-    # template state for checkpoint restore
-    rng = np.random.default_rng(cfg.train.seed)
-    miner = TripletMiner(cfg, train_ds)
-    batch = collate_train(train_ds, miner.mine_random(
-        rng, cfg.train.train_batch_size), cfg, rng)
-    state = init_state(cfg, jax.random.PRNGKey(cfg.train.seed), batch)
+    # synthetic template for the restore — shapes only, no real-data walk
+    state = template_state(cfg, seed=cfg.train.seed)
 
     if cfg.train.resume:
         ckpt = CheckpointManager(cfg.train.save_dir)
         state, meta = ckpt.restore(cfg.train.resume, state)
         log.info("restored %s (epoch %d)", cfg.train.resume,
                  meta["epoch_num"])
+    elif cfg.data.dataset != "synthetic":
+        # evaluating random-init weights on a real dataset prints
+        # legitimate-looking garbage recalls; refuse (synthetic smoke
+        # runs stay allowed)
+        raise SystemExit(
+            "test.py needs --resume <checkpoint-name> (random-init eval "
+            "is only allowed with --dataset synthetic)")
 
     # same mesh resolution as the train driver (train/loop.py): embed
     # passes shard over the data axis, retrieval over the gallery axis

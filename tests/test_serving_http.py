@@ -89,6 +89,7 @@ def test_bad_requests(server):
         ("/search", {"k": 3}),
         ("/search", {"descriptors": [[1.0, 2.0]], "k": 1}),  # wrong dim
         ("/search", {"descriptors": [[1.0] * 32], "k": "five"}),
+        ("/search", {"descriptors": [[1.0] * 32], "k": 10 ** 12}),
         ("/add", {"descriptors": [[1.0, 2.0]],
                   "positions": [[1.0]]}),  # shape mismatch
         ("/add", {"descriptors": [[1.0, 2.0]]}),  # dim != gallery dim
@@ -116,13 +117,17 @@ def test_sharded_search_client_matches_flat_index():
     flat = PlaceIndex(None, None, None)
     flat.add_descriptors(feats, positions=pos)
 
-    servers, urls = [], []
-    for lo, hi in [(0, 25), (25, 60)]:  # deliberately uneven shards
+    servers, urls, shards = [], [], []
+    # two populated nodes (deliberately uneven) plus one still-empty node
+    # awaiting its gallery — the client must skip it, not fail
+    for lo, hi in [(0, 25), (25, 60), (60, 60)]:
         shard = PlaceIndex(None, None, None)
-        shard.add_descriptors(feats[lo:hi], positions=pos[lo:hi])
+        if hi > lo:
+            shard.add_descriptors(feats[lo:hi], positions=pos[lo:hi])
         srv = make_http_server(shard)
         threading.Thread(target=srv.serve_forever, daemon=True).start()
         servers.append(srv)
+        shards.append(shard)
         urls.append("http://%s:%d" % srv.server_address)
     try:
         client = ShardedSearchClient(urls)
@@ -143,6 +148,22 @@ def test_sharded_search_client_matches_flat_index():
         assert (i[:, 60:] == -1).all() and np.isinf(d[:, 60:]).all()
         assert np.isnan(p[:, 60:]).all()
         np.testing.assert_array_equal(i[:, :30], i_ref)
+
+        # an /add to the FIRST node between searches shifts every later
+        # node's global offsets — the per-search refresh must track it
+        extra = rng.standard_normal((3, 32)).astype(np.float32)
+        shards[0].add_descriptors(extra, positions=rng.uniform(
+            0, 1000, (3, 2)))
+        flat2 = PlaceIndex(None, None, None)
+        flat2.add_descriptors(np.concatenate([feats[:25], extra,
+                                              feats[25:]]),
+                              positions=np.concatenate(
+                                  [pos[:25], np.zeros((3, 2)), pos[25:]]))
+        d2, i2, _ = client.search(q, k=7)
+        assert len(client) == 63
+        d2_ref, i2_ref = flat2.search_descriptors(q, k=7)
+        np.testing.assert_array_equal(i2, i2_ref)
+        np.testing.assert_allclose(d2, d2_ref, rtol=1e-6, atol=1e-9)
     finally:
         for srv in servers:
             srv.shutdown()
