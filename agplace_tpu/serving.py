@@ -124,6 +124,26 @@ class PlaceIndex:
         self._dirty = True
         return self._n_rows
 
+    def remove_rows(self, indices) -> int:
+        """Delete gallery rows by index (e.g. decommissioned tiles).
+        Remaining rows KEEP their relative order but indices shift down —
+        callers holding old indices must re-search.  Returns the new
+        size.  The device copies rebuild lazily on the next search."""
+        indices = np.atleast_1d(np.asarray(indices, np.int64))
+        if indices.size == 0:
+            return self._n_rows
+        if indices.min() < 0 or indices.max() >= self._n_rows:
+            raise IndexError(f"row index out of range [0, {self._n_rows})")
+        keep = np.ones(self._n_rows, bool)
+        keep[indices] = False
+        host = self._host_gallery()
+        pos = self.positions
+        self._parts = [host[keep]]
+        self._pos_parts = [pos[keep] if pos is not None else None]
+        self._n_rows = int(keep.sum())
+        self._dirty = True
+        return self._n_rows
+
     @property
     def positions(self) -> Optional[np.ndarray]:
         """[N, 2] UTM east/north per gallery row, or None if any part was

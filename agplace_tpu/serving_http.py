@@ -11,6 +11,8 @@ the reference stops at per-epoch eval; beyond-parity serving surface):
     POST /add                <- {"descriptors": [[...]],
                                  "positions": [[e,n], ...]?}
                              -> {"rows": N}
+    POST /remove             <- {"indices": [...]}
+                             -> {"rows": N}   (remaining rows shift down)
 
 Descriptors travel as JSON float lists — the embedding halves live on
 embedder nodes (``PlaceIndex.embed`` with model weights); searcher nodes
@@ -74,6 +76,8 @@ def make_http_server(index, host: str = "127.0.0.1", port: int = 0
                     return self._search()
                 if self.path == "/add":
                     return self._add()
+                if self.path == "/remove":
+                    return self._remove()
                 self._reply(404, {"error": "not found"})
             except Exception as e:  # backend failure: 500, not a dropped
                 # connection (device OOM, shape errors out of jit, ...)
@@ -141,6 +145,18 @@ def make_http_server(index, host: str = "127.0.0.1", port: int = 0
                 with lock:
                     n = index.add_descriptors(feats, positions=pos)
             except (ValueError, TypeError) as e:
+                return self._reply(400, {"error": str(e)})
+            self._reply(200, {"rows": n})
+
+        def _remove(self):
+            req = self._body()
+            if req is None:
+                return self._reply(400, {"error": "invalid JSON body"})
+            try:
+                idx = np.asarray(req["indices"], np.int64)
+                with lock:
+                    n = index.remove_rows(idx)
+            except (KeyError, ValueError, TypeError, IndexError) as e:
                 return self._reply(400, {"error": str(e)})
             self._reply(200, {"rows": n})
 

@@ -168,3 +168,31 @@ def test_sharded_search_client_matches_flat_index():
         for srv in servers:
             srv.shutdown()
             srv.server_close()
+
+
+def test_remove_rows_api_and_http(server):
+    """remove_rows deletes gallery rows (indices shift down, device copy
+    rebuilds lazily) and is reachable over POST /remove."""
+    base, idx, feats, pos = server
+    d0, i0 = idx.search_descriptors(feats[:1], k=1)
+    assert i0[0, 0] == 0 and idx.upload_count == 1
+
+    code, body = _req(base, "/remove", {"indices": [0, 7]})
+    assert code == 200 and body == {"rows": 48}
+    # a fresh flat index over the surviving rows is the oracle
+    keep = np.ones(50, bool)
+    keep[[0, 7]] = False
+    oracle = PlaceIndex(None, None, None)
+    oracle.add_descriptors(feats[keep], positions=pos[keep])
+    q = feats[[1, 9]] + 1e-4  # old rows 1 and 9 -> new rows 0 and 7
+    d1, i1, p1 = idx.locate_descriptors(q, k=2)
+    d2, i2, p2 = oracle.locate_descriptors(q, k=2)
+    np.testing.assert_array_equal(i1, i2)
+    assert list(i1[:, 0]) == [0, 7]
+    np.testing.assert_allclose(d1, d2, rtol=1e-6)
+    np.testing.assert_allclose(p1, p2)
+    assert idx.upload_count == 2  # one lazy rebuild after the delete
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(base, "/remove", {"indices": [1000]})
+    assert e.value.code == 400
