@@ -99,3 +99,63 @@ def test_serve_entry_build_then_search(tmp_path):
     for r in rows:
         assert len(r["indices"]) == 2 and len(r["east_north"]) == 2
         assert r["sq_distances"][0] <= r["sq_distances"][1]
+
+
+@pytest.mark.slow
+def test_serve_entry_http_node_search(tmp_path):
+    """serve.py http x2 (model-free searcher nodes over saved gallery
+    shards) + serve.py search --gallery http://a,http://b: the CLI
+    scatter-gather returns the flat-gallery results."""
+    import json
+    import socket
+    import subprocess
+    import time
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from agplace_tpu.serving import PlaceIndex
+
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((40, 64)).astype(np.float32)
+    pos = rng.uniform(0, 100, (40, 2))
+    for name, sl in [("g0.npz", slice(0, 15)), ("g1.npz", slice(15, 40))]:
+        part = PlaceIndex(None, None, None)
+        part.add_descriptors(feats[sl], positions=pos[sl])
+        part.save_gallery(str(tmp_path / name))
+    np.save(tmp_path / "q.npy", feats[[3, 20]] + 1e-3)
+
+    def free_port():
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            return s.getsockname()[1]
+
+    ports = [free_port(), free_port()]
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    procs = []
+    try:
+        for port, g in zip(ports, ["g0.npz", "g1.npz"]):
+            procs.append(subprocess.Popen(
+                [sys.executable, os.path.join(REPO, "serve.py"), "http",
+                 "--gallery", str(tmp_path / g), "--port", str(port)],
+                env=env, cwd=str(tmp_path), stdout=subprocess.PIPE))
+        for p in procs:  # first stdout line = ready signal
+            line = p.stdout.readline().decode()
+            assert "serving" in line, line
+        out = _run([os.path.join(REPO, "serve.py"), "search",
+                    "--gallery",
+                    ",".join(f"http://127.0.0.1:{p}" for p in ports),
+                    "--queries", "q.npy", "--k", "3"], cwd=str(tmp_path))
+        assert out.returncode == 0, out.stderr[-2000:]
+        rows = [json.loads(l) for l in out.stdout.strip().splitlines()]
+        assert rows[0]["indices"][0] == 3
+        assert rows[1]["indices"][0] == 20
+        assert len(rows[0]["east_north"]) == 3
+    finally:
+        for p in procs:
+            p.terminate()
+        for p in procs:
+            try:
+                p.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                p.kill()
