@@ -281,6 +281,7 @@ class GridECABasicBlock(nn.Module):
     planes: int
     train: bool = False
     axis_name: Optional[str] = None
+    compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, g: DenseVoxelGrid) -> DenseVoxelGrid:
@@ -290,16 +291,17 @@ class GridECABasicBlock(nn.Module):
 
         residual = g
         out = GridConv(self.planes, kernel_size=3, mask_output=False,
-                       name="conv1")(g)
+                       compute_dtype=self.compute_dtype, name="conv1")(g)
         out = bn("norm1")(out)
         out = out.replace(feats=_mask_feats(nn.relu(out.feats), out.mask))
         out = GridConv(self.planes, kernel_size=3, mask_output=False,
-                       name="conv2")(out)
+                       compute_dtype=self.compute_dtype, name="conv2")(out)
         out = bn("norm2")(out)
         out = GridECALayer(self.planes, name="eca")(out)
         if residual.channels != self.planes:
             residual = GridConv(self.planes, kernel_size=1,
                                 mask_output=False,
+                                compute_dtype=self.compute_dtype,
                                 name="downsample_conv")(residual)
             residual = bn("downsample_bn")(residual)
         feats = nn.relu(out.feats + residual.feats)
@@ -310,6 +312,7 @@ class GridBasicBlock(nn.Module):
     planes: int
     train: bool = False
     axis_name: Optional[str] = None
+    compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, g: DenseVoxelGrid) -> DenseVoxelGrid:
@@ -319,15 +322,16 @@ class GridBasicBlock(nn.Module):
 
         residual = g
         out = GridConv(self.planes, kernel_size=3, mask_output=False,
-                       name="conv1")(g)
+                       compute_dtype=self.compute_dtype, name="conv1")(g)
         out = bn("norm1")(out)
         out = out.replace(feats=_mask_feats(nn.relu(out.feats), out.mask))
         out = GridConv(self.planes, kernel_size=3, mask_output=False,
-                       name="conv2")(out)
+                       compute_dtype=self.compute_dtype, name="conv2")(out)
         out = bn("norm2")(out)
         if residual.channels != self.planes:
             residual = GridConv(self.planes, kernel_size=1,
                                 mask_output=False,
+                                compute_dtype=self.compute_dtype,
                                 name="downsample_conv")(residual)
             residual = bn("downsample_bn")(residual)
         feats = nn.relu(out.feats + residual.feats)
@@ -344,12 +348,14 @@ class GridASPP(nn.Module):
     planes: int
     train: bool = False
     axis_name: Optional[str] = None
+    compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, g: DenseVoxelGrid) -> DenseVoxelGrid:
         feats = None
         for i, k in enumerate((3, 5, 7)):
             o = GridConv(self.planes, kernel_size=k, mask_output=False,
+                         compute_dtype=self.compute_dtype,
                          name=f"conv{i + 1}")(g)
             o = GridBatchNorm(use_running_average=not self.train,
                               axis_name=self.axis_name,
@@ -369,22 +375,26 @@ class GridConvNextBlock(nn.Module):
     kernel_size: int = 3
     train: bool = False
     axis_name: Optional[str] = None
+    compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, g: DenseVoxelGrid) -> DenseVoxelGrid:
         residual = g
         out = GridConv(self.planes, kernel_size=self.kernel_size,
-                       mask_output=False, name="conv1")(g)
+                       mask_output=False,
+                       compute_dtype=self.compute_dtype, name="conv1")(g)
         out = GridBatchNorm(use_running_average=not self.train,
                             axis_name=self.axis_name, name="bn")(out)
         out = GridConv(4 * self.planes, kernel_size=1,
-                       mask_output=False, name="conv2")(out)
+                       mask_output=False,
+                       compute_dtype=self.compute_dtype, name="conv2")(out)
         out = out.replace(feats=nn.relu(out.feats))
         out = GridConv(self.planes, kernel_size=1, mask_output=False,
-                       name="conv3")(out)
+                       compute_dtype=self.compute_dtype, name="conv3")(out)
         if residual.channels != self.planes:
             residual = GridConv(self.planes, kernel_size=1,
                                 mask_output=False,
+                                compute_dtype=self.compute_dtype,
                                 name="downsample_conv")(residual)
         feats = out.feats + residual.feats  # no final relu (ref :53-59)
         return g.replace(feats=_mask_feats(feats, g.mask))
@@ -465,19 +475,21 @@ class DenseMinkFPN(nn.Module):
     block: str = "eca"
     train: bool = False
     axis_name: Optional[str] = None
+    compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, g: DenseVoxelGrid):
         assert 0 <= self.num_top_down <= len(self.layers)
         block_cls = _GRID_BLOCKS[self.block]
         n_stages = len(self.planes)
+        cdt = self.compute_dtype
 
         def bn(name):
             return GridBatchNorm(use_running_average=not self.train,
                                  axis_name=self.axis_name, name=name)
 
         g = GridConv(self.planes[0], kernel_size=self.conv0_kernel_size,
-                     mask_output=False, name="conv0")(g)
+                     mask_output=False, compute_dtype=cdt, name="conv0")(g)
         g = bn("bn0")(g)
         g = g.replace(feats=_mask_feats(nn.relu(g.feats), g.mask))
 
@@ -487,26 +499,29 @@ class DenseMinkFPN(nn.Module):
         out_maps = []
         for i in range(n_stages):
             g = GridConv(g.channels, kernel_size=2, stride=2,
-                         mask_output=False, name=f"down{i}")(g)
+                         mask_output=False, compute_dtype=cdt,
+                         name=f"down{i}")(g)
             g = bn(f"down_bn{i}")(g)
             g = g.replace(feats=_mask_feats(nn.relu(g.feats), g.mask))
             for b in range(self.layers[i]):
                 g = block_cls(self.planes[i], train=self.train,
                               axis_name=self.axis_name,
+                              compute_dtype=cdt,
                               name=f"block{i}_{b}")(g)
             if n_stages - 1 - self.num_top_down <= i < n_stages - 1:
                 laterals.append(g)
             out_maps.append(g)
 
-        g = GridConv(self.out_channels, kernel_size=1,
+        g = GridConv(self.out_channels, kernel_size=1, compute_dtype=cdt,
                      name="lateral_top")(g)
         out_maps[-1] = g
 
         for ndx in range(self.num_top_down):
             fine = laterals[-ndx - 1]
-            up = GridConvTranspose(self.out_channels,
+            up = GridConvTranspose(self.out_channels, compute_dtype=cdt,
                                    name=f"tconv{ndx}")(g, fine.mask)
             lat = GridConv(self.out_channels, kernel_size=1,
+                           compute_dtype=cdt,
                            name=f"lateral{ndx}")(fine)
             g = up.replace(feats=_mask_feats(up.feats + lat.feats,
                                              fine.mask))
