@@ -51,8 +51,6 @@ def _split_argv(argv):
 
 
 def _build(own, rest) -> None:
-    import jax
-
     from agplace_tpu.config import parse_arguments
     from agplace_tpu.serving import PlaceIndex
     from agplace_tpu.utils.common import setup_logging
