@@ -26,6 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STEPS = 8
 WARMUP = 2
+# activations dtype: the config default (fp32, reference-parity) or
+# bfloat16 (--compute_dtype bfloat16, the TPU fast path)
+DTYPE = os.environ.get("TRAIN_BENCH_DTYPE", "float32")
 
 
 def main() -> None:
@@ -41,7 +44,9 @@ def main() -> None:
 
     cfg = kitti360_config()
     cfg = dataclasses.replace(
-        cfg, data=dataclasses.replace(cfg.data, dataset="synthetic"))
+        cfg,
+        data=dataclasses.replace(cfg.data, dataset="synthetic"),
+        model=dataclasses.replace(cfg.model, compute_dtype=DTYPE))
     ds = SyntheticDataset(n_db=64, n_q=32, image_size=cfg.data.q_resize,
                           n_points=cfg.data.vox_max_points, seed=0)
     rng = np.random.default_rng(0)
@@ -73,6 +78,7 @@ def main() -> None:
         "triplets_per_sec": round(n_samples / dt, 1),
         "loss": round(loss, 4),
         "steps": STEPS,
+        "compute_dtype": DTYPE,
     }))
 
 
