@@ -20,6 +20,7 @@ import re
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import optax
 
 from agplace_tpu.config import TrainConfig
@@ -60,12 +61,73 @@ def label_params(params: Dict[str, Any], crn: bool = False,
         lambda path, _: label_of(path), params)
 
 
+def _group_lrs(cfg: TrainConfig, crn: bool) -> Dict[str, float]:
+    """Per-label learning rate; 0.0 encodes set_to_zero (frozen/untrained
+    groups get exactly zero updates, like the reference's exclusion of
+    those params from the torch optimizers)."""
+    return {
+        "base": cfg.lr if cfg.train_modelq else 0.0,
+        "pc": cfg.lrpc if cfg.train_modelq else 0.0,
+        "db": ((cfg.lr_crn_net if crn else cfg.lrdb)
+               if cfg.train_modeldb else 0.0),
+        "crn_layer": cfg.lr_crn_layer,
+        "frozen": 0.0,
+    }
+
+
+def _fused_group_adam(cfg: TrainConfig, crn: bool,
+                      freeze_te: Optional[int]
+                      ) -> optax.GradientTransformation:
+    """Per-group-LR Adam over ONE flattened vector.
+
+    Elementwise-identical to ``optax.multi_transform`` of per-group Adams
+    (Adam state is independent per element and every group shares
+    (b1, b2, eps); the bias-correction counts of all groups advance in
+    lockstep, so one shared count is exact; a 0.0 group LR reproduces
+    ``set_to_zero``'s zero updates) — but it lowers to ~6 large fused ops
+    plus one slice per leaf instead of ~6 ops per leaf.  Measured on the
+    v5e (BASELINE.md r3): 12.1 -> 8.1 ms standalone for a 187-leaf /
+    15M-param tree (~0.5 ms of actual update traffic); the full train
+    step is neutral because XLA overlaps the update either way — kept
+    for the strictly smaller program.  The per-leaf LR (and the Adam
+    sign) applies during the un-flatten, fused into each leaf's
+    slice+reshape op.
+    """
+    inner = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+    lrs = _group_lrs(cfg, crn)
+
+    def leaf_lrs(params):
+        labels = label_params(params, crn=crn, freeze_te=freeze_te)
+        return [lrs[l] for l in jax.tree_util.tree_leaves(labels)]
+
+    def flatten(tree):
+        leaves = jax.tree_util.tree_leaves(tree)
+        return jnp.concatenate(
+            [l.astype(jnp.float32).ravel() for l in leaves])
+
+    def init(params):
+        return inner.init(flatten(params))
+
+    def update(grads, state, params=None):
+        assert params is not None, "fused adam needs params for the layout"
+        flat, new_state = inner.update(flatten(grads), state)
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        out, pos = [], 0
+        for leaf, lr in zip(leaves, leaf_lrs(params)):
+            seg = flat[pos : pos + leaf.size]
+            out.append((seg * (-lr)).reshape(leaf.shape).astype(leaf.dtype))
+            pos += leaf.size
+        return jax.tree_util.tree_unflatten(treedef, out), new_state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(cfg: TrainConfig, crn: bool = False,
                    freeze_te: Optional[int] = None
                    ) -> optax.GradientTransformation:
     if cfg.optim == "adam":
-        make = lambda lr: optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
-    elif cfg.optim == "sgd":
+        return _fused_group_adam(cfg, crn, freeze_te)
+    if cfg.optim == "sgd":
         # the reference's CRN-SGD uses momentum+weight decay (train.py:209)
         make = (lambda lr: optax.chain(
             optax.add_decayed_weights(1e-3), optax.sgd(lr, momentum=0.9))
