@@ -437,6 +437,7 @@ class BEVECABasicBlock(nn.Module):
     # scratch (see the kernel's module docstring).  MMConfig.bev_pallas
     # drives this; AGPLACE_DISABLE_PALLAS=1 forces the XLA path.
     use_pallas: bool = False
+    compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, g: BEVGrid) -> BEVGrid:
@@ -473,17 +474,18 @@ class BEVECABasicBlock(nn.Module):
         # at invalid sites (ME semantics); intermediates stay unmasked —
         # statistics (BN / ECA pool) multiply by the mask themselves.
         residual = g
-        out = _conv_s1_apply(g, k1)
+        out = _conv_s1_apply(g, k1, compute_dtype=self.compute_dtype)
         out = _bn_apply(out, bn1, self.train, self.axis_name,
                         self.is_initializing())
         out = out.replace(
             feats=_mask_bev(nn.relu(out.feats), out.mask, out.z))
-        out = _conv_s1_apply(out, k2)
+        out = _conv_s1_apply(out, k2, compute_dtype=self.compute_dtype)
         out = _bn_apply(out, bn2, self.train, self.axis_name,
                         self.is_initializing())
         out = _eca_apply(out, w_eca)
         if need_ds:
-            residual = _conv_s1_apply(residual, kd)
+            residual = _conv_s1_apply(residual, kd,
+                                      compute_dtype=self.compute_dtype)
             residual = _bn_apply(residual, bnd, self.train, self.axis_name,
                                  self.is_initializing())
         feats = nn.relu(out.feats + residual.feats)
@@ -494,6 +496,7 @@ class BEVBasicBlock(nn.Module):
     planes: int
     train: bool = False
     axis_name: Optional[str] = None
+    compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, g: BEVGrid) -> BEVGrid:
@@ -504,16 +507,17 @@ class BEVBasicBlock(nn.Module):
 
         residual = g
         out = BEVConv(self.planes, kernel_size=3, mask_output=False,
-                      name="conv1")(g)
+                      compute_dtype=self.compute_dtype, name="conv1")(g)
         out = bn("norm1")(out)
         out = out.replace(
             feats=_mask_bev(nn.relu(out.feats), out.mask, out.z))
         out = BEVConv(self.planes, kernel_size=3, mask_output=False,
-                      name="conv2")(out)
+                      compute_dtype=self.compute_dtype, name="conv2")(out)
         out = bn("norm2")(out)
         if residual.channels != self.planes:
             residual = BEVConv(self.planes, kernel_size=1,
                                mask_output=False,
+                               compute_dtype=self.compute_dtype,
                                name="downsample_conv")(residual)
             residual = bn("downsample_bn")(residual)
         feats = nn.relu(out.feats + residual.feats)
@@ -526,12 +530,14 @@ class BEVASPP(nn.Module):
     planes: int
     train: bool = False
     axis_name: Optional[str] = None
+    compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, g: BEVGrid) -> BEVGrid:
         feats = None
         for i, k in enumerate((3, 5, 7)):
             o = BEVConv(self.planes, kernel_size=k, mask_output=False,
+                        compute_dtype=self.compute_dtype,
                         name=f"conv{i + 1}")(g)
             o = BEVBatchNorm(use_running_average=not self.train,
                              axis_name=self.axis_name,
@@ -549,22 +555,26 @@ class BEVConvNextBlock(nn.Module):
     kernel_size: int = 3
     train: bool = False
     axis_name: Optional[str] = None
+    compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, g: BEVGrid) -> BEVGrid:
         residual = g
         out = BEVConv(self.planes, kernel_size=self.kernel_size,
-                      mask_output=False, name="conv1")(g)
+                      mask_output=False,
+                      compute_dtype=self.compute_dtype, name="conv1")(g)
         out = BEVBatchNorm(use_running_average=not self.train,
                            axis_name=self.axis_name, name="bn")(out)
         out = BEVConv(4 * self.planes, kernel_size=1,
-                      mask_output=False, name="conv2")(out)
+                      mask_output=False,
+                      compute_dtype=self.compute_dtype, name="conv2")(out)
         out = out.replace(feats=nn.relu(out.feats))
         out = BEVConv(self.planes, kernel_size=1, mask_output=False,
-                      name="conv3")(out)
+                      compute_dtype=self.compute_dtype, name="conv3")(out)
         if residual.channels != self.planes:
             residual = BEVConv(self.planes, kernel_size=1,
                                mask_output=False,
+                               compute_dtype=self.compute_dtype,
                                name="downsample_conv")(residual)
         feats = out.feats + residual.feats
         return g.replace(feats=_mask_bev(feats, g.mask, g.z))
@@ -616,12 +626,14 @@ class BEVMinkFPN(nn.Module):
     # full-resolution conv0 activation never touches HBM.  Eval-mode TPU
     # only; gated off whenever the full-res map is needed as a lateral.
     use_pallas_head: bool = False
+    compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, g: BEVGrid):
         assert 0 <= self.num_top_down <= len(self.layers)
         block_cls = _BEV_BLOCKS[self.block]
         n_stages = len(self.planes)
+        cdt = self.compute_dtype
 
         fuse_head = (
             self.use_pallas_head and not self.train
@@ -669,7 +681,8 @@ class BEVMinkFPN(nn.Module):
                         z=z_down, stride=g.stride * 2)
         else:
             g = BEVConv(self.planes[0], kernel_size=self.conv0_kernel_size,
-                        mask_output=False, name="conv0")(g)
+                        mask_output=False, compute_dtype=cdt,
+                        name="conv0")(g)
             g = bn("bn0")(g)
             g = g.replace(feats=_mask_bev(nn.relu(g.feats), g.mask, g.z))
 
@@ -682,7 +695,8 @@ class BEVMinkFPN(nn.Module):
                 pass  # conv0+down0 already fused above
             else:
                 g = BEVConv(g.channels, kernel_size=2, stride=2,
-                            mask_output=False, name=f"down{i}")(g)
+                            mask_output=False, compute_dtype=cdt,
+                            name=f"down{i}")(g)
                 g = bn(f"down_bn{i}")(g)
                 g = g.replace(
                     feats=_mask_bev(nn.relu(g.feats), g.mask, g.z))
@@ -691,12 +705,13 @@ class BEVMinkFPN(nn.Module):
                       if block_cls is BEVECABasicBlock else {})
                 g = block_cls(self.planes[i], train=self.train,
                               axis_name=self.axis_name,
+                              compute_dtype=cdt,
                               name=f"block{i}_{b}", **kw)(g)
             if n_stages - 1 - self.num_top_down <= i < n_stages - 1:
                 laterals.append(g)
             out_maps.append(g)
 
-        g = BEVConv(self.out_channels, kernel_size=1,
+        g = BEVConv(self.out_channels, kernel_size=1, compute_dtype=cdt,
                     name="lateral_top")(g)
         out_maps[-1] = g
 
@@ -704,9 +719,10 @@ class BEVMinkFPN(nn.Module):
             from agplace_tpu.sparse.dense_grid import GridConvTranspose
 
             fine = laterals[-ndx - 1]
-            up = GridConvTranspose(self.out_channels,
+            up = GridConvTranspose(self.out_channels, compute_dtype=cdt,
                                    name=f"tconv{ndx}")(unfold(g), fine.mask)
             lat = BEVConv(self.out_channels, kernel_size=1,
+                          compute_dtype=cdt,
                           name=f"lateral{ndx}")(fine)
             upf = fold(up)
             g = upf.replace(

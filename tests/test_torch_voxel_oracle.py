@@ -288,6 +288,51 @@ def test_voxel_fpn_forward_matches_torch(block, ntd):
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("block,ntd", [("eca", 1), ("convnext", 0)])
+def test_bev_backend_matches_torch_oracle(block, ntd):
+    """The BEV-folded backend (the LIVE default) against the same raw-torch
+    mirror DIRECTLY — not just transitively through the dense backend: same
+    parameter tree, folded input, per-level features/masks + GeM pooled
+    descriptor at fp32 tolerance."""
+    from agplace_tpu.sparse.bev_grid import (
+        BEVMinkFPN,
+        BEVMinkGeM,
+        fold,
+        unfold,
+    )
+
+    rng = np.random.default_rng(3)
+    grid = _grid(rng)
+    fpn = BEVMinkFPN(out_channels=OUT_CH, planes=PLANES, layers=(1, 1, 1),
+                     num_top_down=ntd, block=block, train=True,
+                     compute_dtype=jnp.float32)
+    bev = fold(grid)
+    variables = fpn.init(jax.random.PRNGKey(0), bev)
+    (out, maps), _ = fpn.apply(variables, bev, mutable=["batch_stats"])
+    gem = BEVMinkGeM()
+    gvars = gem.init(jax.random.PRNGKey(1), out)
+    desc = gem.apply(gvars, out)
+
+    tp = _torch_params(_flatten(variables["params"]))
+    tx = torch.tensor(np.asarray(grid.feats))
+    tm = torch.tensor(np.asarray(grid.mask))
+    with torch.no_grad():
+        ox, omask, omaps = torch_fpn(tp, tx, tm, PLANES, (1, 1, 1), ntd,
+                                     block)
+        tdesc = torch_gem({"p": torch.tensor(
+            np.asarray(gvars["params"]["p"]))}, ox, omask)
+
+    assert len(omaps) == len(maps)
+    for bev_g, (t_f, t_m) in zip(maps, omaps):
+        jg = unfold(bev_g)
+        np.testing.assert_array_equal(np.asarray(jg.mask), t_m.numpy())
+        m = t_m.numpy()
+        np.testing.assert_allclose(
+            np.asarray(jg.feats)[m], t_f.numpy()[m], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(desc), tdesc.numpy(),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_voxel_fpn_gradients_match_torch():
     rng = np.random.default_rng(1)
     grid = _grid(rng)
