@@ -160,6 +160,15 @@ class MMConfig:
     # BASELINE.md r3 — the kernel serialises against the image branch
     # XLA otherwise overlaps).
     bev_pallas_head: bool = False
+    # Fused stage-0 epilogue + masked down0 (ops/pallas/bev_down.py):
+    # conv0 runs as four bare XLA parity convolutions (measured free) and
+    # one streaming kernel applies BN+relu+mask+down0+BN+relu+mask —
+    # removing the full-resolution mask pass XLA cannot fuse (536 MB of
+    # traffic at bench shapes; r4 probe).  Unlike bev_pallas_head it has
+    # no shared shift planes, so it does not serialise against the image
+    # branch.  Eval-mode TPU only; default ON (identical math, parity-
+    # tested; AGPLACE_DISABLE_PALLAS=1 forces the XLA path).
+    bev_fused_down: bool = True
     # LiDAR clouds are flat: z extent 8 voxels (±8 m at quant 2) covers the
     # KITTI/nuScenes vertical range; xy ±128 m
     vox_grid_extent: Tuple[int, int, int] = (128, 128, 8)
@@ -506,6 +515,7 @@ _FLAG_TABLE = [
      ["bev", "dense", "sparse"]),
     ("bev_pallas", "model.mm.bev_pallas", "bool"),
     ("bev_pallas_head", "model.mm.bev_pallas_head", "bool"),
+    ("bev_fused_down", "model.mm.bev_fused_down", "bool"),
     ("vox_grid_extent", "model.mm.vox_grid_extent", "ints"),
     ("stg2fuse_dim", "model.mm.stg2fuse_dim", "int"),
     ("output_type", "model.mm.output_type", "strs"),

@@ -174,25 +174,39 @@ class VLAD:
         return self.generate_multi(train_descs)
 
     def generate(self, query_descs: np.ndarray) -> np.ndarray:
-        """[N, D] patch descriptors -> [K*D] VLAD (``utilities.py:825-896``)."""
+        """[N, D] patch descriptors -> [K*D] VLAD (``utilities.py:824-923``).
+
+        Reference-exact, including two quirks of the shipped code
+        (oracle-pinned in tests/test_torch_aggregation_oracle.py):
+
+        * hard labels come from ``kmeans.predict`` on the RAW descriptors
+          (``:905``) while residuals use the ``norm_descs``-normalised
+          ones (``:965-968``) — visible only in euclidean mode;
+        * the soft branch's ``rearrange(w * residuals, "q c d -> (q c) d")
+          .sum(0)`` (``:913-916``) sums residuals to ALL centers weighted
+          by the cluster-k assignment, i.e. vlad[k] = sum_q soft[q, k] *
+          (C * d_q - sum_c center_c), not the per-center residual sum.
+        """
         assert self.c_centers is not None, "fit first"
-        d = np.asarray(query_descs, np.float32)
-        if self.norm_descs:
-            d = self._norm(d)
+        raw = np.asarray(query_descs, np.float32)
+        d = self._norm(raw) if self.norm_descs else raw
         residuals = d[:, None, :] - self.c_centers[None]  # [N, K, D]
         if self.vlad_mode == "hard":
             if self.mode == "cosine":
-                sim = self._norm(d) @ self._norm(self.c_centers).T
+                sim = self._norm(raw) @ self._norm(self.c_centers).T
                 labels = np.argmax(sim, axis=-1)
             else:
-                d2 = ((d[:, None] - self.c_centers[None]) ** 2).sum(-1)
+                d2 = ((raw[:, None] - self.c_centers[None]) ** 2).sum(-1)
                 labels = np.argmin(d2, axis=-1)
             assign = np.eye(self.num_clusters, dtype=np.float32)[labels]
+            vlad = (assign[..., None] * residuals).sum(axis=0)  # [K, D]
         else:
-            sim = self._norm(d) @ self._norm(self.c_centers).T
+            sim = self._norm(raw) @ self._norm(self.c_centers).T
             e = np.exp(self.soft_temp * sim)
             assign = e / e.sum(-1, keepdims=True)
-        vlad = (assign[..., None] * residuals).sum(axis=0)  # [K, D]
+            # the (q c) d quirk: every cluster's residual contributes
+            res_all = residuals.sum(axis=1)  # [N, D]
+            vlad = assign.T @ res_all  # [K, D]
         if self.intra_norm:
             vlad = self._norm(vlad)
         vlad = vlad.reshape(-1)

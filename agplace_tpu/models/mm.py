@@ -133,6 +133,7 @@ class MM(nn.Module):
                     axis_name=self.axis_name,
                     use_pallas=cfg.bev_pallas,
                     use_pallas_head=cfg.bev_pallas_head,
+                    use_fused_down=cfg.bev_fused_down,
                     name="vox_fe",
                 )(bev)
                 voxfeatmap = unfold(bev_out)  # tiny at the deepest scale

@@ -48,41 +48,61 @@ class MAC(nn.Module):
         return jnp.max(x, axis=(1, 2))
 
 
+def rmac_regions(h: int, w: int, levels: int = 3):
+    """Static RMAC region geometry — the exact math of
+    ``model/functional.py:43-83`` (ovr=0.4, steps 2..7, overplus on the
+    long side, centers ``floor(wl2 + i*b) - wl2``).  Returns a list of
+    (i0, j0, wl) squares; pure python so the caller stays jittable."""
+    import numpy as np
+
+    ovr = 0.4
+    steps = np.array([2, 3, 4, 5, 6, 7], np.float32)
+    mn = min(h, w)
+    b = (max(h, w) - mn) / (steps - 1)
+    idx = int(np.argmin(np.abs((mn * mn - mn * b) / (mn * mn) - ovr)))
+    wd = idx + 1 if h < w else 0
+    hd = idx + 1 if h > w else 0
+    regions = []
+    for level in range(1, levels + 1):
+        wl = int(np.floor(2 * mn / (level + 1)))
+        if wl == 0:
+            continue
+        wl2 = int(np.floor(wl / 2 - 1))
+        bw = 0.0 if level + wd == 1 else (w - wl) / (level + wd - 1)
+        bh = 0.0 if level + hd == 1 else (h - wl) / (level + hd - 1)
+        cen_w = [int(np.floor(np.float32(wl2 + i * bw))) - wl2
+                 for i in range(level + wd)]
+        cen_h = [int(np.floor(np.float32(wl2 + i * bh))) - wl2
+                 for i in range(level + hd)]
+        for i0 in cen_h:
+            for j0 in cen_w:
+                regions.append((i0, j0, wl))
+    return regions
+
+
 class RMAC(nn.Module):
-    """Regional MAC: max-pool over a multi-scale grid of square regions,
-    L2-normalise each regional vector, and sum (``model/functional.py:43-83``).
-    Region geometry is computed statically from the (static) map shape, so
-    the whole thing stays jittable."""
+    """Regional MAC (``model/functional.py:43-83``): the GLOBAL max-pool
+    vector plus max-pools over a multi-scale grid of square regions, each
+    L2-normalised as ``v / (||v|| + eps)`` and summed.  Region geometry is
+    computed statically from the (static) map shape, so the whole thing
+    stays jittable."""
 
     levels: int = 3
     eps: float = 1e-6
 
     @nn.compact
     def __call__(self, x):  # [B, H, W, C]
-        import numpy as np
-
         b, h, w, c = x.shape
-        min_hw = min(h, w)
-        v = jnp.zeros((b, c), x.dtype)
-        # Region geometry is static python math (shapes are static under jit):
-        # level-l regions are squares of side 2*min(H,W)/(l+1), laid out on a
-        # uniform grid with ~40% overlap, as in model/functional.py:43-83.
-        for level in range(1, self.levels + 1):
-            wl = int(np.floor(2 * min_hw / (level + 1)))
-            if wl == 0:
-                continue
-            n_h = level + (1 if h > w else 0)
-            n_w = level + (1 if w > h else 0)
-            hs = np.linspace(0, max(h - wl, 0), num=max(n_h, 1)).astype(int)
-            ws = np.linspace(0, max(w - wl, 0), num=max(n_w, 1)).astype(int)
-            for i0 in hs:
-                for j0 in ws:
-                    region = x[:, i0 : i0 + wl, j0 : j0 + wl, :]
-                    r = jnp.max(region, axis=(1, 2))
-                    r = r / jnp.maximum(
-                        jnp.linalg.norm(r, axis=-1, keepdims=True), self.eps
-                    )
-                    v = v + r
+
+        def norm_add(v, r):
+            r = r / (jnp.linalg.norm(r, axis=-1, keepdims=True) + self.eps)
+            return r if v is None else v + r
+
+        # global vector first (functional.py:59-61)
+        v = norm_add(None, jnp.max(x, axis=(1, 2)))
+        for i0, j0, wl in rmac_regions(h, w, self.levels):
+            region = x[:, i0 : i0 + wl, j0 : j0 + wl, :]
+            v = norm_add(v, jnp.max(region, axis=(1, 2)))
         return v
 
 
@@ -107,6 +127,10 @@ class ConvAP(nn.Module):
             window_shape=(x.shape[1] // self.s1, x.shape[2] // self.s2),
             strides=(x.shape[1] // self.s1, x.shape[2] // self.s2),
         )
+        # flatten channel-major, matching the reference's NCHW
+        # ``x.flatten(1)`` (network/image_pooling.py:37) so descriptor
+        # element order is checkpoint-compatible
+        x = jnp.transpose(x, (0, 3, 1, 2))
         return _l2n(x.reshape(x.shape[0], -1))
 
 
@@ -133,7 +157,7 @@ class FeatureMixerLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x):  # [B, C, hw]
-        y = nn.LayerNorm()(x)
+        y = nn.LayerNorm(epsilon=1e-5)(x)  # torch nn.LayerNorm default eps
         y = nn.Dense(int(self.dim * self.mlp_ratio))(y)
         y = nn.relu(y)
         y = nn.Dense(self.dim)(y)
@@ -174,11 +198,11 @@ class RRM(nn.Module):
     @nn.compact
     def __call__(self, x):
         v = jnp.mean(x, axis=(1, 2))
-        v = nn.LayerNorm(name="ln1")(v)
+        v = nn.LayerNorm(epsilon=1e-5, name="ln1")(v)  # torch LN eps
         h = nn.Dense(self.dim, name="fc1")(v)
         h = nn.relu(h)
         h = nn.Dense(self.dim, name="fc2")(h)
-        v = nn.LayerNorm(name="ln2")(v + h)
+        v = nn.LayerNorm(epsilon=1e-5, name="ln2")(v + h)
         return _l2n(v)
 
 
@@ -206,15 +230,14 @@ class NetVLAD(nn.Module):
         centroids = self.param(
             "centroids", nn.initializers.normal(1.0), (self.clusters_num, c)
         )
+        # soft-assign conv: NO bias — the reference's Conv2d(bias=False)
+        # (``model/aggregation.py:105-110``; ``init_params`` even sets
+        # ``self.conv.bias = None``)
         assign_w = self.param(
             "assign_w", nn.initializers.lecun_normal(), (c, self.clusters_num)
         )
-        assign_b = self.param(
-            "assign_b", nn.initializers.zeros, (self.clusters_num,)
-        )
         soft = jax.nn.softmax(
-            jnp.dot(x, assign_w, preferred_element_type=jnp.float32)
-            + assign_b,
+            jnp.dot(x, assign_w, preferred_element_type=jnp.float32),
             axis=-1,
         )  # [B, N, K]
         # vlad[b,k,c] = sum_n soft[b,n,k] * (x[b,n,c] - centroids[k,c])
@@ -231,17 +254,26 @@ class NetVLAD(nn.Module):
         )
 
     @staticmethod
-    def init_from_kmeans(params, centroids, alpha: float = 100.0):
-        """Set centroids + soft-assign weights from k-means clusters, matching
-        the reference init (``model/aggregation.py:120-133``):
-        w = 2*alpha*c, b = -alpha*||c||^2."""
+    def init_from_kmeans(params, centroids, descriptors=None,
+                         alpha: float = None):
+        """Set centroids + soft-assign weights from k-means clusters —
+        the reference ``init_params`` (``model/aggregation.py:112-125``):
+        alpha = -ln(0.01) / mean(top1 - top2 dot of L2'd centroids against
+        the training descriptors); assign weight = alpha * normalized
+        centroids; centroids stored unnormalized; no bias."""
         import numpy as np
 
-        c = np.asarray(centroids)
+        c = np.asarray(centroids, np.float32)
+        c_assign = c / np.linalg.norm(c, axis=1, keepdims=True)
+        if alpha is None:
+            if descriptors is None:
+                raise ValueError("need descriptors (or explicit alpha)")
+            dots = np.sort(c_assign @ np.asarray(descriptors, np.float32).T,
+                           axis=0)[::-1]
+            alpha = float(-np.log(0.01) / np.mean(dots[0] - dots[1]))
         params = dict(params)
         params["centroids"] = jnp.asarray(c)
-        params["assign_w"] = jnp.asarray(2.0 * alpha * c.T)
-        params["assign_b"] = jnp.asarray(-alpha * (c ** 2).sum(-1))
+        params["assign_w"] = jnp.asarray(alpha * c_assign.T)
         return params
 
 
@@ -260,8 +292,18 @@ class CRN(nn.Module):
         # descriptor-wise L2 norm
         x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
 
-        # context mask
-        xd = nn.avg_pool(x, (3, 3), strides=(2, 2), padding=((0, 1), (0, 1)))
+        # context mask.  Downsample = AvgPool2d(3, stride 2, ceil_mode=True)
+        # (``model/aggregation.py:181``): torch divides edge windows by the
+        # CLIPPED in-bounds count, not the window size — so sum-pool and
+        # divide by a same-shaped count pool (oracle-pinned in
+        # tests/test_torch_aggregation_oracle.py).
+        def _sumpool(v):
+            return jax.lax.reduce_window(
+                v, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 2, 2, 1),
+                [(0, 0), (0, 1), (0, 1), (0, 0)])
+
+        cnt = _sumpool(jnp.ones_like(x[..., :1]))
+        xd = _sumpool(x) / cnt
         g3 = nn.Conv(32, (3, 3), padding=1, name="filter_3")(xd)
         g5 = nn.Conv(32, (5, 5), padding=2, name="filter_5")(xd)
         g7 = nn.Conv(20, (7, 7), padding=3, name="filter_7")(xd)
@@ -273,14 +315,14 @@ class CRN(nn.Module):
 
         centroids = self.param("centroids", nn.initializers.normal(1.0),
                                (self.clusters_num, c))
+        # bias-free soft-assign conv, as in NetVLAD (CRN subclasses it in
+        # the reference, ``model/aggregation.py:233``)
         assign_w = self.param("assign_w", nn.initializers.lecun_normal(),
                               (c, self.clusters_num))
-        assign_b = self.param("assign_b", nn.initializers.zeros,
-                              (self.clusters_num,))
         flat = x.reshape(b, h * w, c)
         soft = jax.nn.softmax(
-            jnp.dot(flat, assign_w, preferred_element_type=jnp.float32)
-            + assign_b, axis=-1)
+            jnp.dot(flat, assign_w, preferred_element_type=jnp.float32),
+            axis=-1)
         soft = soft * mask.reshape(b, h * w, 1)  # contextual reweighting
         weighted_x = jnp.einsum("bnk,bnc->bkc", soft, flat)
         counts = jnp.sum(soft, axis=1)

@@ -626,6 +626,12 @@ class BEVMinkFPN(nn.Module):
     # full-resolution conv0 activation never touches HBM.  Eval-mode TPU
     # only; gated off whenever the full-res map is needed as a lateral.
     use_pallas_head: bool = False
+    # fused stage-0 epilogue + masked down0 (ops/pallas/bev_down.py):
+    # conv0 runs as four bare XLA parity convs (measured free) and one
+    # kernel applies BN+relu+mask+down0+BN+relu+mask — removes the full-
+    # resolution mask pass XLA cannot fuse (r4 probe: 536 MB of traffic).
+    # Default ON: eval-mode TPU only, identical math, parity-tested.
+    use_fused_down: bool = True
     compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -635,19 +641,24 @@ class BEVMinkFPN(nn.Module):
         n_stages = len(self.planes)
         cdt = self.compute_dtype
 
-        fuse_head = (
-            self.use_pallas_head and not self.train
-            and not self.is_initializing()
-            and self.num_top_down < n_stages  # full-res g is not a lateral
-            and self.conv0_kernel_size in (3, 5)
+        # shared gate for both stage-0 fusions: eval-mode TPU, full-res g
+        # not needed as a lateral, and spatial dims need no ME alignment
+        # padding (me_down_align lo == hi == 0: even dims with even half-
+        # extent — true for the live 128/64-cell extents), because both
+        # kernels' spatial parity decompositions pair (2m, 2m+1)
+        _stage0_fusible = (
+            not self.train and not self.is_initializing()
+            and self.num_top_down < n_stages
             and g.feats.shape[1] % 2 == 0 and g.feats.shape[2] % 2 == 0
-            # the fused kernel's z fold is ME-alignment-aware, but its
-            # spatial parity decomposition pairs (2m, 2m+1) — only valid
-            # when the spatial index offsets are even (me_down_align
-            # lo == 0; true for the live 128/64-cell extents)
             and (g.feats.shape[1] // 2) % 2 == 0
             and (g.feats.shape[2] // 2) % 2 == 0
             and _pallas_backend_ok())
+        fuse_head = (self.use_pallas_head and _stage0_fusible
+                     and self.conv0_kernel_size in (3, 5))
+        fuse_down = (self.use_fused_down and not fuse_head
+                     and _stage0_fusible
+                     and self.conv0_kernel_size % 2 == 1
+                     and self.conv0_kernel_size >= 3)
 
         def bn(name):
             # trunk BNs are always followed by an explicit relu+mask pass;
@@ -656,11 +667,9 @@ class BEVMinkFPN(nn.Module):
                                 axis_name=self.axis_name, name=name,
                                 mask_output=False)
 
-        if fuse_head:
+        if fuse_head or fuse_down:
             # same parameter tree as the unfused path: holder modules
             # declare conv0/bn0/down0/down_bn0 under identical scopes
-            from agplace_tpu.ops.pallas.bev_head import fused_head
-
             z0 = g.z
             k0p = _ConvParam(self.conv0_kernel_size, g.channels,
                              self.planes[0], name="conv0")()
@@ -675,8 +684,17 @@ class BEVMinkFPN(nn.Module):
             wd = fold_w2_k2s2(kdp, z0)
             s0, b0 = _bn_eval_affine(bn0p, z0)
             sd, bd = _bn_eval_affine(bndp, z_down)
-            feats, mask = fused_head(g.feats, g.mask, w0, s0, b0, wd, sd,
-                                     bd, z=z0)
+            if fuse_head:
+                from agplace_tpu.ops.pallas.bev_head import fused_head
+
+                feats, mask = fused_head(g.feats, g.mask, w0, s0, b0, wd,
+                                         sd, bd, z=z0)
+            else:
+                from agplace_tpu.ops.pallas.bev_down import \
+                    fused_conv0_down0
+
+                feats, mask = fused_conv0_down0(g.feats, g.mask, w0, s0,
+                                                b0, wd, sd, bd, z=z0)
             g = BEVGrid(feats=feats.astype(g.feats.dtype), mask=mask,
                         z=z_down, stride=g.stride * 2)
         else:
@@ -691,7 +709,7 @@ class BEVMinkFPN(nn.Module):
             laterals.append(g)
         out_maps = []
         for i in range(n_stages):
-            if fuse_head and i == 0:
+            if (fuse_head or fuse_down) and i == 0:
                 pass  # conv0+down0 already fused above
             else:
                 g = BEVConv(g.channels, kernel_size=2, stride=2,

@@ -26,7 +26,7 @@ def initialize_netvlad(
     descriptors_per_image: int = 100,
     netvlad_path: str = "aggregation/netvlad",
     seed: int = 0,
-    alpha: float = 100.0,
+    alpha: float = None,
 ) -> Dict:
     """Returns a new variables dict with the NetVLAD params initialised.
 
@@ -58,8 +58,11 @@ def initialize_netvlad(
     keys = netvlad_path.split("/")
     for k in keys[:-1]:
         node = node[k]
+    # alpha from the descriptor statistics unless pinned — the reference
+    # ``init_params`` (``model/aggregation.py:112-125``)
     node[keys[-1]] = NetVLAD.init_from_kmeans(
-        node[keys[-1]], np.asarray(centroids), alpha=alpha)
+        node[keys[-1]], np.asarray(centroids), descriptors=descs,
+        alpha=alpha)
     out = dict(variables)
     out["params"] = params
     return out

@@ -63,9 +63,17 @@ def test_netvlad_initialize_from_dataset():
     # model still runs with the initialised params
     out = model.apply(new_vars, img)
     assert np.isfinite(np.asarray(out)).all()
-    # assign conv consistent with centroids: w = 2*alpha*c
+    # assign conv consistent with centroids (reference init_params,
+    # model/aggregation.py:112-125): w = alpha * L2-normalized centroids
+    # with ONE positive alpha from the descriptor statistics, no bias
     w = np.asarray(new_vars["params"]["aggregation"]["netvlad"]["assign_w"])
-    np.testing.assert_allclose(w, 2 * 100.0 * new_c.T, rtol=1e-5)
+    cn = new_c / np.linalg.norm(new_c, axis=1, keepdims=True)
+    sel = np.abs(cn) > 1e-6  # zero components give no alpha estimate
+    alphas = w.T[sel] / cn[sel]  # every entry must agree on alpha
+    alpha = alphas.flat[0]
+    assert alpha > 0
+    np.testing.assert_allclose(alphas, alpha, rtol=1e-4)
+    assert "assign_b" not in new_vars["params"]["aggregation"]["netvlad"]
 
 
 def test_seq_sample_tokens():
