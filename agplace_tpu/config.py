@@ -142,14 +142,14 @@ class MMConfig:
     #   "dense"  = masked dense-grid conv3d (sparse/dense_grid.py)
     #   "sparse" = padded gather-GEMM (clouds beyond the grid extent)
     voxfe_backend: str = "bev"
-    # fused Pallas kernel for eval-mode ECA blocks on the BEV backend
-    # (ops/pallas/bev_block.py).  Hardware-parity proven after the r3
-    # WAR-hazard fix, but OFF by default: measured full-model A/B is
-    # neutral at batch 32 and -4.5% at serving batch 128 — XLA's
-    # in-context epilogue fusion already covers the single block
-    # (BASELINE.md r3 notes).  AGPLACE_DISABLE_PALLAS=1 also forces the
-    # XLA path at runtime.
-    bev_pallas: bool = False
+    # fused Pallas kernel for eval-mode ECA blocks on the BEV backend.
+    # r4: routes to the SPATIAL-MAJOR kernel (ops/pallas/bev_block_sm.py),
+    # whose boundary transposes are bitcasts against the conv-native
+    # {3,0,2,1} layout — the relayout copies that made the r3 batch-major
+    # kernel (ops/pallas/bev_block.py) in-context neutral are gone, and
+    # the full-model A/B now measures +2.4% at batch 32.  Default ON
+    # (eval-mode TPU only; AGPLACE_DISABLE_PALLAS=1 forces the XLA path).
+    bev_pallas: bool = True
     # Fused conv0+down0 stage-pair kernel (ops/pallas/bev_head.py): the
     # full-resolution conv0 activation — the single biggest HBM cost of
     # the voxel branch (1.97 ms of the 3.4 ms branch at bench shapes,
@@ -310,6 +310,16 @@ class EvalConfig:
     # | maj_voting
     majority_weight: float = 0.01
     pca_dim: Optional[int] = None
+    # single_query runs ragged original-resolution queries at batch 1 (the
+    # reference's queries_infer_batch_size=1, test.py:141) — one XLA
+    # compile per unique image shape.  This caps the storm: the first
+    # max_query_shapes distinct shapes embed exactly; later NEW shapes are
+    # zero-padded bottom/right into an already-compiled larger bucket
+    # (boundary-only approximation: interior activations are bit-identical
+    # because SAME convs already see implicit zeros there; a warning is
+    # logged once).  KITTI-360/nuScenes are uniform-resolution and never
+    # hit the cap.
+    max_query_shapes: int = 16
 
 
 @dataclass(frozen=True)

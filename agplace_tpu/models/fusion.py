@@ -243,12 +243,21 @@ class Stage2FuseBlockAdd(nn.Module):
     train: bool = False
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
+    bev_pallas: bool = False  # fused ECA refine (see MMConfig.bev_pallas)
 
     @nn.compact
     def __call__(self, imgmap: jax.Array, voxmap=None,
                  vox_keys: Optional[jax.Array] = None,
                  fusevec: jax.Array = None):
+        from agplace_tpu.sparse.bev_grid import (
+            BEVConv, BEVECABasicBlock, BEVGrid, BEVMinkGeM, _mask_bev,
+            bev_global_avg)
+
         dense_vox = isinstance(voxmap, DenseVoxelGrid)
+        # z-folded BEV path: all-2D convs, same parameter tree as the
+        # dense path (avoids the measured XLA:TPU 3D-conv epilogue
+        # pathology even on the small deepest map; BASELINE.md r2/r4)
+        bev_vox = isinstance(voxmap, BEVGrid)
         imgoutvec = None
         voxoutvec = None
         for i in range(self.nlayers):
@@ -265,7 +274,12 @@ class Stage2FuseBlockAdd(nn.Module):
                 else:
                     fusevec_vox = fusevec
                 # ME_broadcast_add (stage2fuse_blockadd.py:26-32)
-                if dense_vox:
+                if bev_vox:
+                    add = jnp.tile(fusevec_vox, (1, voxmap.z))
+                    vfeats = _mask_bev(
+                        voxmap.feats + add[:, None, None, :].astype(
+                            voxmap.feats.dtype), voxmap.mask, voxmap.z)
+                elif dense_vox:
                     vfeats = jnp.where(
                         voxmap.mask[..., None],
                         voxmap.feats + fusevec_vox[:, None, None, None, :],
@@ -281,7 +295,12 @@ class Stage2FuseBlockAdd(nn.Module):
                                   dtype=self.dtype,
                                   name=f"ffn_img_{i}")(imgmap)
             if voxmap is not None:
-                if dense_vox:
+                if bev_vox:
+                    voxmap = BEVECABasicBlock(self.voxdim, train=self.train,
+                                              axis_name=self.axis_name,
+                                              use_pallas=self.bev_pallas,
+                                              name=f"ffn_vox_{i}")(voxmap)
+                elif dense_vox:
                     voxmap = GridECABasicBlock(self.voxdim, train=self.train,
                                                axis_name=self.axis_name,
                                                name=f"ffn_vox_{i}")(voxmap)
@@ -292,7 +311,12 @@ class Stage2FuseBlockAdd(nn.Module):
                         voxmap, vox_keys)
             imgoutvec = GeM2D(name=f"pool_img_{i}")(imgmap)
             if voxmap is not None:
-                pool_cls = GridMinkGeM if dense_vox else MinkGeM
+                if bev_vox:
+                    pool_cls = BEVMinkGeM
+                elif dense_vox:
+                    pool_cls = GridMinkGeM
+                else:
+                    pool_cls = MinkGeM
                 voxoutvec = pool_cls(name=f"pool_vox_{i}")(voxmap)
 
             # fold refined maps back into the fused vector; with
@@ -312,6 +336,9 @@ class Stage2FuseBlockAdd(nn.Module):
             if voxmap is not None:
                 if not self.use_proj:
                     voxmap_fuse = voxmap
+                elif bev_vox:
+                    voxmap_fuse = BEVConv(self.fusedim, kernel_size=1,
+                                          name=f"proj_vox_fuse_{i}")(voxmap)
                 elif dense_vox:
                     voxmap_fuse = GridConv(self.fusedim, kernel_size=1,
                                            name=f"proj_vox_fuse_{i}")(voxmap)
@@ -319,9 +346,13 @@ class Stage2FuseBlockAdd(nn.Module):
                     voxmap_fuse, _ = SparseConv(self.fusedim, kernel_size=1,
                                                 name=f"proj_vox_fuse_{i}")(
                         voxmap, vox_keys)
-                fusevec = fusevec + (
-                    grid_global_avg(voxmap_fuse) if dense_vox
-                    else masked_global_avg(voxmap_fuse))
+                if bev_vox:
+                    vavg = bev_global_avg(voxmap_fuse)
+                elif dense_vox:
+                    vavg = grid_global_avg(voxmap_fuse)
+                else:
+                    vavg = masked_global_avg(voxmap_fuse)
+                fusevec = fusevec + vavg
             fusevec = FFNFuse(self.fusedim, self.stg2fuse_type,
                               name=f"ffn_fuse_{i}")(fusevec)
         return fusevec, imgoutvec, voxoutvec

@@ -109,7 +109,6 @@ class MM(nn.Module):
                     BEVMinkFPN,
                     BEVMinkGeM,
                     bev_densify,
-                    unfold,
                 )
 
                 # collate builds constant-1 voxel features (the reference's
@@ -136,7 +135,10 @@ class MM(nn.Module):
                     use_fused_down=cfg.bev_fused_down,
                     name="vox_fe",
                 )(bev)
-                voxfeatmap = unfold(bev_out)  # tiny at the deepest scale
+                # stage-2 consumes the FOLDED grid directly (all-2D convs;
+                # the unfolded 5D path hits the XLA:TPU 3D-conv epilogue
+                # pathology even on the small deepest map — BASELINE r4)
+                voxfeatmap = bev_out
                 voxfeatvec = BEVMinkGeM(name="vox_pool")(bev_out)
             elif cfg.voxfe_backend == "dense":
                 assert not is_grid, (
@@ -233,6 +235,7 @@ class MM(nn.Module):
             train=self.train,
             axis_name=self.axis_name,
             dtype=self.dtype,
+            bev_pallas=cfg.bev_pallas,
             name="stg2fuseblock",
         )(imagefeatmap, voxfeatmap if use_vox else None, vox_keys,
           out_components[-1])

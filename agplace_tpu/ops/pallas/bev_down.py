@@ -69,36 +69,40 @@ from jax.experimental.pallas import tpu as pltpu
 def _down_kernel(g00, g01, g10, g11, mt_ref, a0_ref, wd_ref, ad_ref,
                  e_ref, pe_ref, out_ref):
     f32 = jnp.float32
+    bf16 = jnp.bfloat16
     gs = (g00, g01, g10, g11)
-    mt = mt_ref[:].astype(f32)  # [TX, Yo, B, 4*Z] parity-folded mask
+    mt = mt_ref[:]  # [TX, Yo, B, 4*Z] parity-folded mask, bf16 0/1
 
     # down0 output occupancy: any parent occupied, folded over ME z pairs
     m1zc = jax.lax.dot_general(
-        mt, pe_ref[:], (((3,), (0,)), ((), ())),
+        mt, pe_ref[:].astype(bf16), (((3,), (0,)), ((), ())),
         preferred_element_type=f32)                    # [TX, Yo, B, Zo*C2]
-    m1zc = (m1zc > 0.0).astype(f32)
+    m1zc = (m1zc > 0.0).astype(bf16)
 
-    s0 = a0_ref[0].astype(jnp.bfloat16)
-    b0 = a0_ref[1].astype(jnp.bfloat16)
+    # dtype flow mirrors the XLA path (BEVBatchNorm casts its eval affine
+    # to the bf16 feats dtype; convs accumulate f32 and round to bf16)
+    s0 = a0_ref[0].astype(bf16)
+    b0 = a0_ref[1].astype(bf16)
     acc = None
     for p in range(4):
         # conv0 epilogue: BN eval affine + relu + z-mask (E expansion)
         act = jnp.maximum(
             gs[p][:] * s0[None, None, None, :] + b0[None, None, None, :], 0)
         mzc = jax.lax.dot_general(
-            mt, e_ref[p], (((3,), (0,)), ((), ())),
+            mt, e_ref[p].astype(bf16), (((3,), (0,)), ((), ())),
             preferred_element_type=f32)                # [TX, Yo, B, Z*C1]
-        act = act * mzc.astype(jnp.bfloat16)
+        act = act * mzc.astype(bf16)
         # down0: parity p IS spatial tap p — one K=Z*C1 MXU dot
         d = jax.lax.dot_general(
             act, wd_ref[p], (((3,), (0,)), ((), ())),
             preferred_element_type=f32)
         acc = d if acc is None else acc + d
 
-    out = acc * ad_ref[0][None, None, None, :] + ad_ref[1][None, None,
-                                                           None, :]
-    out = jnp.maximum(out, 0.0) * m1zc
-    out_ref[:] = out.astype(jnp.bfloat16)
+    sd = ad_ref[0].astype(bf16)
+    bd = ad_ref[1].astype(bf16)
+    out = acc.astype(bf16) * sd[None, None, None, :] + bd[None, None,
+                                                          None, :]
+    out_ref[:] = jnp.maximum(out, 0) * m1zc
 
 
 def fused_conv0_down0(feats, mask, w0_folded, scale0, bias0, wd_folded,

@@ -456,18 +456,31 @@ class BEVECABasicBlock(nn.Module):
         # unfused block is elementwise-bandwidth-bound (~1.74 ms at the
         # bench stage-0 shapes vs 0.88 ms fused); eval-mode TPU only —
         # training and CPU run the XLA path below (parity-tested).
-        if (self.use_pallas and not self.train and not need_ds
+        if (self.use_pallas and not self.train
                 and not self.is_initializing()
                 and _pallas_backend_ok()):
-            from agplace_tpu.ops.pallas.bev_block import fused_eca_block
+            # spatial-major formulation (ops/pallas/bev_block_sm.py): its
+            # boundary transposes are bitcasts against the conv-native
+            # {3,0,2,1} layout, avoiding the relayout copies that made the
+            # r3 batch-major kernel (ops/pallas/bev_block.py) in-context
+            # neutral despite being 2x faster standalone.  Channel-change
+            # blocks ride the same kernel via its fused 1x1 downsample
+            # residual path.
+            from agplace_tpu.ops.pallas.bev_block_sm import \
+                fused_eca_block_sm
 
             w1f = fold_w2_stride1(k1, g.z)
             w2f = fold_w2_stride1(k2, g.z)
             s1, b1 = _bn_eval_affine(bn1, g.z)
             s2, b2 = _bn_eval_affine(bn2, g.z)
-            out = fused_eca_block(
+            dskw = {}
+            if need_ds:
+                sd, bd = _bn_eval_affine(bnd, g.z)
+                dskw = dict(wd=fold_w2_stride1(kd, g.z), scale_d=sd,
+                            bias_d=bd)
+            out = fused_eca_block_sm(
                 g.feats, g.mask, w1f, w2f, s1, b1, s2, b2,
-                w_eca[:, 0, 0], z=g.z)
+                w_eca[:, 0, 0], z=g.z, **dskw)
             return g.replace(feats=out.astype(g.feats.dtype))
 
         # ONE mask application per conv boundary: conv inputs must be zero
