@@ -101,6 +101,158 @@ class ViTExtractor(nn.Module):
         return out
 
 
+class _TappedAttention(nn.Module):
+    """Multi-head self-attention with the q/k/v projections exposed.
+
+    Parameter tree matches ``flax.linen.MultiHeadDotProductAttention``
+    (query/key/value/out DenseGenerals), so ``convert_vit_b16`` checkpoints
+    (utils/torch_convert.py) drop straight in.
+    """
+
+    heads: int
+
+    @nn.compact
+    def __call__(self, y):
+        hidden = y.shape[-1]
+        hd = hidden // self.heads
+        q = nn.DenseGeneral((self.heads, hd), name="query")(y)
+        k = nn.DenseGeneral((self.heads, hd), name="key")(y)
+        v = nn.DenseGeneral((self.heads, hd), name="value")(y)
+        attn = jax.nn.softmax(
+            jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                       preferred_element_type=jnp.float32)
+            / jnp.sqrt(hd).astype(y.dtype), axis=-1)
+        o = jnp.einsum("bhnm,bmhd->bnhd", attn, v,
+                       preferred_element_type=jnp.float32).astype(y.dtype)
+        out = nn.DenseGeneral(hidden, axis=(-2, -1), name="out")(o)
+        b, n = y.shape[:2]
+        taps = {f: t.reshape(b, n, hidden) for f, t in
+                (("query", q), ("key", k), ("value", v))}
+        return out, taps
+
+
+class CosPlaceViTExtractFeatures(nn.Module):
+    """CosPlace-ViT intermediate-layer extractor
+    (``/root/reference/anyloc/utilities.py:134-211``): the reference wraps
+    an HF ``ViTModel`` (default ``ViTConfig``: ViT-B/16) loaded from a
+    CosPlace checkpoint and taps ``layer``'s query/key/value projection or
+    the block's output tokens via forward hooks.  Here the taps are plain
+    returns — and the encoder stops at ``layer`` instead of running the
+    remaining blocks whose outputs the reference discards.
+
+    Weights: ``utils/torch_convert.convert_vit_b16`` on the HF state_dict
+    (same param tree as ``models/geoloc.ViTBackbone``; the unused deeper
+    layers in the converted tree are simply ignored).
+    """
+
+    hidden: int = 768  # hft.ViTConfig() defaults (utilities.py:150)
+    heads: int = 12
+    patch: int = 16
+    layer: int = 11
+    facet: str = "token"
+    use_cls: bool = False
+    norm_descs: bool = True
+    ln_eps: float = 1e-12  # HF ViT layer_norm_eps
+
+    @nn.compact
+    def __call__(self, x):  # [B, H, W, 3] NHWC
+        assert self.facet in ("query", "key", "value", "token"), self.facet
+        b = x.shape[0]
+        x = nn.Conv(self.hidden, (self.patch, self.patch),
+                    strides=(self.patch, self.patch), padding="VALID",
+                    name="embed")(x)
+        x = x.reshape(b, -1, self.hidden)
+        cls = self.param("cls", nn.initializers.zeros, (1, 1, self.hidden))
+        x = jnp.concatenate([jnp.tile(cls, (b, 1, 1)), x], axis=1)
+        pos = self.param("pos", nn.initializers.normal(0.02),
+                         (1, x.shape[1], self.hidden))
+        x = x + pos
+        out = None
+        for i in range(self.layer + 1):
+            y = nn.LayerNorm(epsilon=self.ln_eps, name=f"ln1_{i}")(x)
+            y, taps = _TappedAttention(heads=self.heads,
+                                       name=f"attn_{i}")(y)
+            if i == self.layer and self.facet != "token":
+                out = taps[self.facet]
+            x = x + y
+            y = nn.LayerNorm(epsilon=self.ln_eps, name=f"ln2_{i}")(x)
+            y = nn.Dense(self.hidden * 4, name=f"mlp1_{i}")(y)
+            y = nn.Dense(self.hidden, name=f"mlp2_{i}")(nn.gelu(y))
+            x = x + y
+            if i == self.layer and self.facet == "token":
+                out = x
+        if not self.use_cls:
+            out = out[:, 1:]  # patch descriptors only (utilities.py:205)
+        if self.norm_descs:
+            out = out / jnp.maximum(
+                jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
+        return out
+
+
+# -------------- MAE 2D sine-cosine position embedding --------------
+# Reference vendors these from facebookresearch/mae
+# (``/root/reference/anyloc/utilities.py:315-391``); rebuilt here from the
+# published formulation.
+
+def get_1d_sincos_pos_embed_from_grid(embed_dim: int,
+                                      pos: np.ndarray) -> np.ndarray:
+    """[M] positions -> [M, embed_dim] with sin in the first half of the
+    channel dim and cos in the second (``utilities.py:344-362``)."""
+    assert embed_dim % 2 == 0
+    omega = np.arange(embed_dim // 2, dtype=np.float64) / (embed_dim / 2.0)
+    omega = 1.0 / 10000 ** omega
+    out = np.einsum("m,d->md", np.asarray(pos).reshape(-1), omega)
+    return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+
+def get_2d_sincos_pos_embed_from_grid(embed_dim: int,
+                                      grid: np.ndarray) -> np.ndarray:
+    """grid[0]=h rows, grid[1]=w rows -> [H*W, embed_dim], h-encoding in
+    the first half (``utilities.py:333-341``)."""
+    assert embed_dim % 2 == 0
+    emb_h = get_1d_sincos_pos_embed_from_grid(embed_dim // 2, grid[0])
+    emb_w = get_1d_sincos_pos_embed_from_grid(embed_dim // 2, grid[1])
+    return np.concatenate([emb_h, emb_w], axis=1)
+
+
+def get_2d_sincos_pos_embed(embed_dim: int, grid_size: int,
+                            cls_token: bool = False) -> np.ndarray:
+    """[grid*grid(+1), embed_dim]; w varies fastest (np.meshgrid with w
+    first, ``utilities.py:315-330``); an all-zero row is prepended for the
+    CLS token."""
+    coords = np.arange(grid_size, dtype=np.float32)
+    grid = np.stack(np.meshgrid(coords, coords), axis=0)  # w first
+    grid = grid.reshape(2, 1, grid_size, grid_size)
+    pe = get_2d_sincos_pos_embed_from_grid(embed_dim, grid)
+    if cls_token:
+        pe = np.concatenate([np.zeros((1, embed_dim)), pe], axis=0)
+    return pe
+
+
+def interpolate_pos_embed(pos_embed: np.ndarray, num_patches: int,
+                          num_extra_tokens: int = 1) -> np.ndarray:
+    """Resize a ViT positional embedding [1, extra+N_old, D] to
+    [1, extra+num_patches, D] (``utilities.py:370-391``): the extra
+    (CLS/dist) tokens pass through unchanged, the patch grid is
+    bicubic-resampled.  The reference mutates an MAE checkpoint dict in
+    place, deriving ``num_extra_tokens`` from the model (:375); here it is
+    a pure array function taking that count directly.
+    """
+    pos_embed = np.asarray(pos_embed, np.float32)
+    n_tok, dim = pos_embed.shape[-2], pos_embed.shape[-1]
+    orig_size = int((n_tok - num_extra_tokens) ** 0.5)
+    new_size = int(num_patches ** 0.5)
+    if orig_size == new_size:
+        return pos_embed
+    extra_tokens = pos_embed[:, :num_extra_tokens]
+    grid = pos_embed[:, num_extra_tokens:].reshape(
+        1, orig_size, orig_size, dim)
+    grid = jax.image.resize(jnp.asarray(grid),
+                            (1, new_size, new_size, dim), method="bicubic")
+    grid = np.asarray(grid).reshape(1, new_size * new_size, dim)
+    return np.concatenate([extra_tokens, grid], axis=1)
+
+
 class DinoV2ExtractFeatures(nn.Module):
     """DINOv2-style extractor (``utilities.py:219-294``): same tap mechanism,
     defaults sized like vit-base/14."""

@@ -264,6 +264,97 @@ def test_vit_converter_matches_hf_transformers():
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("facet,use_cls", [("token", False),
+                                           ("query", False),
+                                           ("key", True),
+                                           ("value", False)])
+def test_cosplace_vit_extractor_matches_hf_hooks(facet, use_cls):
+    """CosPlaceViTExtractFeatures (anyloc/utilities.py:134-211) vs the
+    reference mechanism itself: forward hooks on an HF ViTModel's
+    encoder.layer[i] / attention.attention.{query,key,value}."""
+    pytest.importorskip("transformers")
+    from transformers import ViTConfig, ViTModel
+
+    layer = 1
+    hf_cfg = ViTConfig(hidden_size=64, num_hidden_layers=3,
+                       num_attention_heads=4, intermediate_size=256,
+                       image_size=32, patch_size=8,
+                       hidden_dropout_prob=0.0,
+                       attention_probs_dropout_prob=0.0)
+    hf = ViTModel(hf_cfg, add_pooling_layer=False).eval()
+
+    hook_out = {}
+
+    def _hook(module, inputs, output):
+        # the reference indexes output[0] for the token facet
+        # (utilities.py:188, a 1-tuple in its transformers version); newer
+        # ViTLayer returns the tensor bare
+        if facet == "token" and isinstance(output, tuple):
+            output = output[0]
+        hook_out["t"] = output
+
+    if facet == "token":
+        h = hf.encoder.layer[layer].register_forward_hook(_hook)
+    else:
+        h = getattr(hf.encoder.layer[layer].attention.attention,
+                    facet).register_forward_hook(_hook)
+    x = _rand_img((2, 3, 32, 32), seed=7)
+    with torch.no_grad():
+        hf(torch.from_numpy(x))
+    h.remove()
+    want = hook_out["t"]
+    if not use_cls:
+        want = want[:, 1:]
+    want = torch.nn.functional.normalize(want, dim=-1).numpy()
+
+    from agplace_tpu.models.anyloc import CosPlaceViTExtractFeatures
+
+    params, _ = convert_vit_b16(hf.state_dict(), heads=4)
+    ex = CosPlaceViTExtractFeatures(hidden=64, heads=4, patch=8,
+                                    layer=layer, facet=facet,
+                                    use_cls=use_cls, norm_descs=True)
+    got = ex.apply({"params": params}, jax.numpy.asarray(_nhwc(x)))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
+
+
+def test_mae_sincos_pos_embed():
+    """MAE 2D sincos helpers (anyloc/utilities.py:315-391): reference
+    formulation checked value-by-value."""
+    from agplace_tpu.models.anyloc import (
+        get_1d_sincos_pos_embed_from_grid, get_2d_sincos_pos_embed,
+        interpolate_pos_embed)
+
+    # 1D: sin(pos*omega) | cos(pos*omega), omega = 10000^(-2i/d)
+    pe = get_1d_sincos_pos_embed_from_grid(8, np.array([0.0, 1.0, 3.0]))
+    assert pe.shape == (3, 8)
+    np.testing.assert_allclose(pe[0], [0, 0, 0, 0, 1, 1, 1, 1], atol=1e-12)
+    omega = 1.0 / 10000 ** (np.arange(4) / 4.0)
+    np.testing.assert_allclose(pe[2, :4], np.sin(3 * omega), rtol=1e-12)
+    np.testing.assert_allclose(pe[2, 4:], np.cos(3 * omega), rtol=1e-12)
+
+    # 2D: zero CLS row; the reference feeds meshgrid's w-array into the
+    # FIRST half (its `emb_h` name notwithstanding, utilities.py:323,337)
+    # so along a column (fixed w) the first half is constant, and along a
+    # row (fixed h) the second half is constant.  [h, w] indexing.
+    pe2 = get_2d_sincos_pos_embed(16, 4, cls_token=True)
+    assert pe2.shape == (17, 16)
+    np.testing.assert_allclose(pe2[0], 0, atol=1e-12)
+    grid = pe2[1:].reshape(4, 4, 16)
+    np.testing.assert_allclose(grid[0, 1, :8], grid[3, 1, :8], atol=1e-12)
+    np.testing.assert_allclose(grid[2, 0, 8:], grid[2, 3, 8:], atol=1e-12)
+    # and the w-half actually varies with w / the h-half with h
+    assert np.abs(grid[2, 0, :8] - grid[2, 3, :8]).max() > 0.1
+    assert np.abs(grid[0, 1, 8:] - grid[3, 1, 8:]).max() > 0.1
+
+    # interpolate: identity at the same geometry, bicubic grid otherwise
+    pos = np.random.default_rng(0).standard_normal((1, 17, 8)).astype(
+        np.float32)
+    np.testing.assert_allclose(interpolate_pos_embed(pos, 16), pos)
+    up = interpolate_pos_embed(pos, 64)
+    assert up.shape == (1, 65, 8)
+    np.testing.assert_allclose(up[:, :1], pos[:, :1])  # CLS untouched
+
+
 def test_vit_pos_embed_resize_roundtrip():
     """Grid-resize to the checkpoint's own geometry is the identity."""
     from agplace_tpu.utils.torch_convert import _resize_pos_embed

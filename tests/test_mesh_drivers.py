@@ -159,9 +159,14 @@ def test_netvlad_init_wired_into_init_state(tmp_path):
     c1 = np.asarray(
         s_init.params["mm"]["aggregation"]["netvlad"]["centroids"])
     assert not np.allclose(c0, c1)
-    # assign conv consistent with the k-means centroids (w = 2*alpha*c)
+    # assign conv consistent with the k-means centroids, the
+    # reference-exact init (model/aggregation.py:112-125): w = alpha *
+    # L2-normalized(centroids).T with one shared data-dependent alpha > 0
     w = np.asarray(s_init.params["mm"]["aggregation"]["netvlad"]["assign_w"])
-    np.testing.assert_allclose(w, 2 * 100.0 * c1.T, rtol=1e-5)
+    cn = (c1 / np.linalg.norm(c1, axis=1, keepdims=True)).T
+    alpha = float((w * cn).sum() / (cn * cn).sum())  # lstsq scale
+    assert alpha > 0
+    np.testing.assert_allclose(w, alpha * cn, rtol=1e-4, atol=1e-5)
 
 
 @pytest.mark.slow
