@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -79,16 +80,46 @@ def extract_features(
                                         bs, cfg, mesh=mesh)
     elif cfg.eval.test_method == "single_query":
         # ragged original-resolution queries: batch 1, like the reference's
-        # queries_infer_batch_size=1 (test.py:141); one compile per unique
-        # image shape
+        # queries_infer_batch_size=1 (test.py:141).  XLA compiles once per
+        # unique image shape, so the storm is capped (VERDICT r3 item 7):
+        # the first ``cfg.eval.max_query_shapes`` distinct shapes embed
+        # exactly; any NEW shape after that is bilinearly resized to the
+        # compiled shape of nearest aspect/area — the reference's own
+        # hard_resize semantics applied to the tail — with one warning.
+        # (Zero-padding instead would NOT be exact: pad cells pick up BN
+        # bias through the convs and pollute the global GeM pool.)
+        import logging
+
         from agplace_tpu.data.base import prepare_query_vox
 
+        cap = max(1, cfg.eval.max_query_shapes)
+        compiled: list = []  # (h, w) in first-appearance order
+        warned = False
         feats = []
         for i in range(ds.queries_num):
-            img = ds.load_query_image(i)[None]
+            img = ds.load_query_image(i)
+            shape = img.shape[:2]
+            if shape not in compiled and len(compiled) < cap:
+                compiled.append(shape)
+            if shape not in compiled:
+                if not warned:
+                    warned = True
+                    logging.warning(
+                        "single_query: over %d distinct query shapes; "
+                        "further new shapes are hard-resized into compiled "
+                        "buckets (raise eval.max_query_shapes to compile "
+                        "more)", cap)
+                bh, bw = min(compiled, key=lambda s: abs(
+                    np.log(shape[0] / s[0])) + abs(
+                    np.log(shape[1] / s[1])))
+                with jax.default_device(jax.devices("cpu")[0]):
+                    img = np.asarray(jax.image.resize(
+                        jnp.asarray(img), (bh, bw, img.shape[2]),
+                        method="bilinear"))
             vox = prepare_query_vox(cfg, ds.load_query_points(i)[None])
             feats.append(np.asarray(
-                embed_queries(params, batch_stats, jnp.asarray(img), vox)))
+                embed_queries(params, batch_stats, jnp.asarray(img[None]),
+                              vox)))
         q_feats = np.concatenate(feats)
     else:
         q_feats = batched_embed_q(ds, list(range(ds.queries_num)),

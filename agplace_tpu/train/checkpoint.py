@@ -28,6 +28,16 @@ class CheckpointManager:
     def _path(self, name: str) -> str:
         return os.path.join(self.save_dir, name)
 
+    def _restore_path(self, name: str) -> str:
+        # an absolute path — or a path that exists as given (e.g. relative
+        # to the CWD) — is restored as-is; bare names resolve inside this
+        # run's save_dir (ADVICE r3: --resume accepts either).  Saves only
+        # ever use _path: a stray same-named dir in the CWD must never
+        # redirect a write.
+        if os.path.isabs(name) or os.path.exists(name):
+            return os.path.abspath(name)
+        return self._path(name)
+
     def save(self, state: TrainState, epoch_num: int,
              recalls: Optional[np.ndarray], best_r5: float,
              not_improved_num: int, is_best: bool,
@@ -61,7 +71,7 @@ class CheckpointManager:
                 ) -> Tuple[TrainState, Dict[str, Any]]:
         """Restore with a structure template (required for typed pytrees)."""
         payload = self._ckpt.restore(
-            self._path(name),
+            self._restore_path(name),
             item={
                 "epoch_num": 0,
                 "state": template_state,

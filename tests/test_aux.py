@@ -117,6 +117,30 @@ def test_checkpoint_explicit_filename_precedence(tmp_path):
     assert os.path.basename(p4) == "ep@3__r1@9"
 
 
+def test_checkpoint_restore_accepts_absolute_paths(tmp_path):
+    """--resume accepts an absolute path (or an existing relative path) to
+    a checkpoint saved under a DIFFERENT run dir; bare names still resolve
+    inside this manager's save_dir, and saves are never redirected by a
+    same-named dir in the CWD (ADVICE r3)."""
+    from agplace_tpu.train.checkpoint import CheckpointManager
+
+    src = CheckpointManager(str(tmp_path / "run_a"))
+    state = {"w": np.arange(3, dtype=np.float32)}
+    path = src.save(state, epoch_num=1, recalls=None, best_r5=0.0,
+                    not_improved_num=0, is_best=False)
+    assert os.path.isabs(path)
+
+    other = CheckpointManager(str(tmp_path / "run_b"))
+    got, meta = other.restore(path, {"w": np.zeros(3, np.float32)})
+    np.testing.assert_array_equal(got["w"], state["w"])
+    assert meta["epoch_num"] == 1
+    # bare name: resolves in the OWN save_dir (and run_b has none)
+    got2, _ = src.restore("ep@1", {"w": np.zeros(3, np.float32)})
+    np.testing.assert_array_equal(got2["w"], state["w"])
+    with pytest.raises(Exception):
+        other.restore("ep@1", {"w": np.zeros(3, np.float32)})
+
+
 def test_folder_test_methods_single_query_central_crop(tmp_path):
     """datasets_ws.py:444-462 parity: central_crop = ratio-preserving
     biggest central crop; single_query = original resolution at batch 1
@@ -174,6 +198,60 @@ def test_folder_test_methods_single_query_central_crop(tmp_path):
     recalls, _ = evaluate(cfg_sq, ds_sq, state.params, state.batch_stats,
                           embed_q, embed_db)
     assert recalls.shape == (4,) and np.isfinite(recalls).all()
+
+
+def test_single_query_compile_storm_is_capped():
+    """Ragged single_query eval compiles at most eval.max_query_shapes
+    distinct query shapes (VERDICT r3 item 7): the first ``cap`` shapes
+    embed exactly, later new shapes hard-resize into a compiled bucket —
+    asserted by counting the distinct image shapes the embed fn sees
+    (each distinct shape = one XLA compile)."""
+    import dataclasses
+
+    from agplace_tpu.config import synthetic_config
+    from agplace_tpu.evaluate import extract_features
+
+    cap = 3
+    cfg = synthetic_config(image_size=32)
+    cfg = dataclasses.replace(
+        cfg, eval=dataclasses.replace(cfg.eval, test_method="single_query",
+                                      max_query_shapes=cap))
+
+    rng = np.random.default_rng(0)
+    q_shapes = [(32, 32), (40, 32), (32, 48), (44, 44), (52, 36), (60, 60),
+                (32, 32), (44, 44)]  # 6 distinct, cap 3
+
+    class RaggedDS:
+        queries_num = len(q_shapes)
+        database_num = 2
+
+        def load_query_image(self, i):
+            h, w = q_shapes[i]
+            return rng.random((h, w, 3)).astype(np.float32)
+
+        def load_query_points(self, i):
+            return rng.uniform(-20, 20, (64, 3)).astype(np.float32)
+
+        def load_db_maps(self, i):
+            return rng.random((1, 32, 32, 3)).astype(np.float32)
+
+    seen_q_shapes = set()
+
+    def fake_embed_q(params, batch_stats, images, vox):
+        seen_q_shapes.add(tuple(images.shape))
+        return np.zeros((images.shape[0], 8), np.float32)
+
+    def fake_embed_db(params, batch_stats, maps):
+        return np.zeros((maps.shape[0], 8), np.float32)
+
+    q_feats, db_feats = extract_features(
+        cfg, RaggedDS(), {}, {}, fake_embed_q, fake_embed_db)
+    assert q_feats.shape == (len(q_shapes), 8)
+    assert db_feats.shape == (2, 8)
+    assert len(seen_q_shapes) <= cap, seen_q_shapes
+    # the capped shapes are exactly the first `cap` distinct ones (exact
+    # embedding for them; the tail resized into these buckets)
+    assert seen_q_shapes == {(1, 32, 32, 3), (1, 40, 32, 3), (1, 32, 48, 3)}
 
 
 def test_dvglb_query_augmentations(folder_root):
