@@ -157,6 +157,51 @@ def test_index_int8_matches_fp32(trained):
     np.testing.assert_array_equal(i[:, :4], i8)
 
 
+def test_index_int8_audit_mode(trained, caplog, monkeypatch):
+    """audit_rate samples int8 searches against an exact host fp32 top-k
+    (VERDICT r3 item 8): clean searches audit clean; a corrupted candidate
+    scan is caught, counted in audit_stats, and logged."""
+    import logging
+
+    cfg, save_dir, ds = trained
+    idx = PlaceIndex.from_checkpoint(cfg, save_dir, "best_model",
+                                     quant="int8", audit_rate=0.5)
+    idx.add_tiles(ds)
+    q = np.random.default_rng(7).standard_normal(
+        (5, cfg.model.features_dim)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    for _ in range(4):  # stride 2 -> audits searches 1 and 3
+        idx.search_descriptors(q, k=3)
+    assert idx.audit_stats["searches"] == 4
+    assert idx.audit_stats["audited"] == 2
+    assert idx.audit_stats["missed_rows"] == 0  # int8 parity holds here
+
+    # corrupt the candidate scan: always return the WORST rows -> the true
+    # top-k cannot be in the re-rank set, the audit must fire
+    def bad_search(qq, k):
+        d, i = PlaceIndex._search_int8(idx, qq, k)
+        n = idx._n_rows
+        host = idx._host_gallery()
+        d2 = (np.einsum("qc,qc->q", qq, qq)[:, None]
+              + np.einsum("nc,nc->n", host, host)[None] - 2.0 * qq @ host.T)
+        worst = np.argsort(-d2, axis=1)[:, :k]
+        wd = np.take_along_axis(d2, worst, axis=1).astype(np.float32)
+        return wd, worst.astype(np.int64)
+
+    monkeypatch.setattr(idx, "_search_impl", bad_search)
+    with caplog.at_level(logging.WARNING):
+        idx.search_descriptors(q, k=3)  # search 5: stride hits it
+    assert idx.audit_stats["audited"] == 3
+    assert idx.audit_stats["miss_queries"] == 5
+    assert idx.audit_stats["missed_rows"] > 0
+    assert any("int8 audit" in r.message for r in caplog.records)
+
+    # rate validation
+    with pytest.raises(ValueError):
+        PlaceIndex(cfg, None, None, quant="int8", audit_rate=1.5)
+
+
 def test_gallery_persistence_and_model_free_search(trained, tmp_path):
     """save_gallery -> from_gallery round trip: a search-only index (no
     checkpoint, no towers) returns identical results, carries the tiles'
