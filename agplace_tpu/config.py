@@ -238,7 +238,13 @@ class ModelConfig:
     netvlad_clusters: int = 64
     fc_output_dim: Optional[int] = None
     l2: str = "before_pool"  # before_pool | after_pool | none
-    # numerics
+    # numerics: activation dtype for training (serving always runs bf16).
+    # Default float32 for bit-level reference parity; bfloat16 is the
+    # RECOMMENDED training setting on TPU — 48.1 vs 72.8 ms/step at
+    # reference scale, and the r4 dtype A/B (scripts/ab_train_dtype.py,
+    # 3 seeds x 7 epochs, BASELINE.md "Training dtype") found equal recall
+    # trajectories (mean best R@5 38.9 both; R@1 22.2 bf16 vs 13.9 fp32 —
+    # toy-scale noise favouring bf16, no quality penalty).
     compute_dtype: str = "float32"  # float32 | bfloat16 (activations)
     # pretrained backbone init (reference: torchvision pretrained resnets in
     # both towers, network_mm/image_fe.py:19,33).  Sources tried in order:
