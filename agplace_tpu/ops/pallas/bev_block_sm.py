@@ -137,7 +137,8 @@ def _block_kernel(x_ref, mt_ref, w1_ref, w2_ref, a1_ref, a2_ref, we_ref,
 
 
 def fused_eca_block_sm(x, mask, w1, w2, scale1, bias1, scale2, bias2,
-                       w_eca, z: int, wd=None, scale_d=None, bias_d=None):
+                       w_eca, z: int, wd=None, scale_d=None, bias_d=None,
+                       tb: int = None):
     """x [B,X,Y,Z*Cin] bf16 (masked), mask [B,X,Y,Z] bool, w1 folded
     [3,3,Z*Cin,Z*Cout], w2 [3,3,Z*Cout,Z*Cout], scale/bias [Z*Cout] f32
     (BN eval affines), w_eca [k] f32.  For channel-changing blocks pass
@@ -181,11 +182,14 @@ def fused_eca_block_sm(x, mask, w1, w2, scale1, bias1, scale2, bias2,
     cands = sorted({d for d in range(1, b + 1)
                     if b % d == 0 and (d % 8 == 0 or d == b)},
                    reverse=True)
-    tb = cands[-1]
-    for cand in cands:
-        if xdim * ydim * cand * zmax * 2 <= 8.5 * 1024 * 1024:
-            tb = cand
-            break
+    if tb is None:
+        tb = cands[-1]
+        for cand in cands:
+            if xdim * ydim * cand * zmax * 2 <= 8.5 * 1024 * 1024:
+                tb = cand
+                break
+    else:
+        assert tb in cands, (tb, cands)
 
     interpret = jax.default_backend() != "tpu"
     kernel = functools.partial(_block_kernel, xdim=xdim, ydim=ydim, tb=tb,
