@@ -214,6 +214,14 @@ class MMConfig:
 
     drop: Optional[str] = None  # modality-drop ablation: 'image' | 'pc'
 
+    # Fused BN-affine+relu+maxpool resnet stem tail
+    # (ops/pallas/stem_pool.py): one VMEM pass over the full-res conv1
+    # output instead of the two XLA passes (~0.5 ms of HBM traffic at
+    # bench shapes).  Eval-mode TPU + bf16 activations only; parity-
+    # tested (identical taps; affine rounds at bf16 like the other fused
+    # kernels).  AGPLACE_DISABLE_PALLAS=1 forces the XLA path.
+    stem_pallas: bool = True
+
 
 @dataclass(frozen=True)
 class DBConfig:
@@ -223,6 +231,7 @@ class DBConfig:
     image_fe: str = "resnet18"
     image_fe_layers: Tuple[int, ...] = (2, 2, 2)
     share_dbfe: bool = False  # share one backbone across map types
+    stem_pallas: bool = True  # fused resnet stem tail (see MMConfig)
 
 
 @dataclass(frozen=True)
@@ -532,6 +541,8 @@ _FLAG_TABLE = [
     ("bev_pallas", "model.mm.bev_pallas", "bool"),
     ("bev_pallas_head", "model.mm.bev_pallas_head", "bool"),
     ("bev_fused_down", "model.mm.bev_fused_down", "bool"),
+    ("stem_pallas", "model.mm.stem_pallas", "bool"),
+    ("dbstem_pallas", "model.db.stem_pallas", "bool"),
     ("vox_grid_extent", "model.mm.vox_grid_extent", "ints"),
     ("stg2fuse_dim", "model.mm.stg2fuse_dim", "int"),
     ("output_type", "model.mm.output_type", "strs"),

@@ -65,7 +65,8 @@ class DBVanilla2D(nn.Module):
         fes = [
             ImageFE(fe_type=cfg.image_fe, layers=cfg.image_fe_layers,
                     train=self.train, axis_name=self.axis_name,
-                    dtype=self.dtype, name=f"fe_{i}")
+                    dtype=self.dtype, use_pallas_stem=cfg.stem_pallas,
+                    name=f"fe_{i}")
             for i in range(n_branches)
         ]
         pools = [GeM(name=f"pool_{i}") for i in range(n_branches)]

@@ -147,6 +147,7 @@ class ImageFE(nn.Module):
     train: bool = False
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
+    use_pallas_stem: bool = False  # fused stem tail (resnet archs only)
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, Sequence[jnp.ndarray]]:
@@ -157,6 +158,7 @@ class ImageFE(nn.Module):
                 train=self.train,
                 axis_name=self.axis_name,
                 dtype=self.dtype,
+                use_pallas_stem=self.use_pallas_stem,
                 name="fe",
             )(x)
         if self.fe_type == "convnext_tiny":

@@ -87,7 +87,8 @@ class MM(nn.Module):
         if use_image:
             imagefeatmap, imagemaplist = ImageFE(
                 fe_type=cfg.imgfe, layers=cfg.imgfe_layers, train=self.train,
-                axis_name=self.axis_name, dtype=self.dtype, name="image_fe",
+                axis_name=self.axis_name, dtype=self.dtype,
+                use_pallas_stem=cfg.stem_pallas, name="image_fe",
             )(query_image)
             imagefeatvec = GeM(name="image_pool")(imagefeatmap)
             if cfg.output_l2:

@@ -33,7 +33,13 @@ class BatchNorm2D(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x):  # [..., C], stats over all leading axes
+    def __call__(self, x, *, return_affine: bool = False):
+        # x [..., C], stats over all leading axes.  With
+        # ``return_affine=True`` (eval only) the fused effective affine is
+        # returned as fp32 ``(eff_scale, eff_bias)`` instead of being
+        # applied — consumers that fuse the BN epilogue into a Pallas
+        # kernel (e.g. ops/pallas/stem_pool.py) read it off the same
+        # parameter tree.
         c = x.shape[-1]
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((c,), jnp.float32))
@@ -63,6 +69,10 @@ class BatchNorm2D(nn.Module):
                 ra_var.value = (self.momentum * ra_var.value
                                 + (1 - self.momentum) * var)
         inv = jax.lax.rsqrt(var + self.epsilon)
+        if return_affine:
+            assert self.use_running_average, \
+                "return_affine is an eval-mode contract"
+            return inv * scale, bias - mean * inv * scale
         eff_scale = (inv * scale).astype(x.dtype)
         eff_bias = (bias - mean * inv * scale).astype(x.dtype)
         return x * eff_scale + eff_bias

@@ -11,21 +11,33 @@ This kernel fuses the three elementwise/window ops into ONE pass that
 reads the conv output once and writes only the pooled [B,H/2,W/2,C]
 quarter-size result.
 
-Layout: operands are presented in the SPATIAL-MAJOR logical view
-[H,W,B,C] whose default layout is the {3,0,2,1} physical layout the
-producing conv already emits — the boundary transposes are bitcasts
-(the ops/pallas/bev_block_sm.py finding).
+Layout (the ops/pallas/bev_block_sm.py finding): operands are presented
+in the SPATIAL-MAJOR logical view [H,W,B,C] whose default layout is the
+{3,0,2,1} physical layout the producing conv already emits — the
+boundary transposes are bitcasts.  Two refinements over a naive
+spatial-major block:
 
-Maxpool decomposition (no strided slices, Mosaic-friendly): zero-pad the
-relu'd activation by 1 (valid: post-relu values are >= 0 and every 3x3
-window contains a real element, so zero behaves as -inf), then per output
-row i take max(pad[2i], pad[2i+1], pad[2i+2]) via an even/odd phase
-reshape of the UNTILED leading dims — pad[0:H].reshape(H/2, 2, ...)
-gives phases 2i / 2i+1, and pad[2:H+2] re-phased gives 2i+2.  Separable:
-rows first, then the same on columns.
+* **Batch-pair channel fold.**  C=64 would waste half of every 128-lane
+  vector register and double the VMEM footprint via lane padding.  Since
+  B is the second-minor memory dim, ``reshape(H, W, B//k, k*C)`` is a
+  contiguous (free) regroup; k is chosen so k*C == 128 when possible,
+  and the BN scale/bias are ``jnp.tile``-d to match.  The folded batch
+  dim sits in sublanes (16 = one exact bf16 tile).
+* **H-gridding with a 1-row top halo.**  A full 128x128 spatial block is
+  64 MB — far over VMEM.  The pool window for output row r covers input
+  rows 2r-1..2r+1, so a block of hb input rows needs exactly ONE extra
+  row (the last row of the previous block); it is passed as a second
+  1-row operand whose index map points at ``i*hb - 1`` (masked to the
+  zero pad row at i == 0).  No bottom halo is needed: the last output
+  row's window ends at input row H-1.
 
-Semantics identical to the XLA path (parity-tested on CPU interpret and
-against hardware in tests/test_pallas_stem_pool.py).
+Maxpool decomposition (no strided slices, Mosaic-friendly): zero-pad by
+one row/column at the TOP/LEFT only (valid: post-relu values are >= 0,
+so the zero pad behaves as the true ``-inf`` pad), then take the three
+window taps via even/odd phase reshapes of the UNTILED leading dims.
+
+Semantics identical to the XLA path; parity-tested on hardware and CPU
+interpret in tests/test_pallas_stem_pool.py.
 """
 
 from __future__ import annotations
@@ -38,69 +50,114 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, a_ref, out_ref, pad_ref, *, h: int, w: int, tb: int,
-            c: int):
+def _kernel(x_ref, halo_ref, a_ref, out_ref, pad_ref, *, hb: int, w: int,
+            tb: int, c: int):
     bf16 = jnp.bfloat16
     s = a_ref[0].astype(bf16)
     b = a_ref[1].astype(bf16)
-    pad_ref[:] = jnp.zeros_like(pad_ref)
-    pad_ref[1 : h + 1, 1 : w + 1] = jnp.maximum(
-        x_ref[:] * s[None, None, None, :] + b[None, None, None, :], 0)
 
-    # rows: [H+2, W+2, TB, C] -> [H/2, W+2, TB, C]
-    a = pad_ref[0:h].reshape(h // 2, 2, w + 2, tb, c)
-    hi = pad_ref[2 : h + 2].reshape(h // 2, 2, w + 2, tb, c)
-    r = jnp.maximum(jnp.maximum(a[:, 0], a[:, 1]), hi[:, 0])
-    # cols: [H/2, W+2, TB, C] -> [H/2, W/2, TB, C]
-    ca = r[:, 0:w].reshape(h // 2, w // 2, 2, tb, c)
-    chi = r[:, 2 : w + 2].reshape(h // 2, w // 2, 2, tb, c)
+    def aff(v):
+        return jnp.maximum(v * s[None, None, None, :]
+                           + b[None, None, None, :], 0)
+
+    # pad_ref [hb+1, W+1, TB, C]: row 0 = previous block's last input row
+    # (the top halo; the global zero pad at block 0), col 0 = left zero pad.
+    pad_ref[:, 0] = jnp.zeros_like(pad_ref[:, 0])
+
+    @pl.when(pl.program_id(0) == 0)
+    def _zero_halo():
+        pad_ref[0] = jnp.zeros_like(pad_ref[0])
+
+    @pl.when(pl.program_id(0) != 0)
+    def _fill_halo():
+        pad_ref[0, 1 : w + 1] = aff(halo_ref[:])[0]
+
+    pad_ref[1 : hb + 1, 1 : w + 1] = aff(x_ref[:])
+
+    ho, wo = hb // 2, w // 2
+    # rows: output row r reads padded rows 2r, 2r+1, 2r+2
+    a = pad_ref[0:hb].reshape(ho, 2, w + 1, tb, c)
+    hi = pad_ref[1 : hb + 1].reshape(ho, 2, w + 1, tb, c)
+    r = jnp.maximum(jnp.maximum(a[:, 0], a[:, 1]), hi[:, 1])
+    # cols: output col c reads padded cols 2c, 2c+1, 2c+2
+    ca = r[:, 0:w].reshape(ho, wo, 2, tb, c)
+    chi = r[:, 1 : w + 1].reshape(ho, wo, 2, tb, c)
     out_ref[:] = jnp.maximum(jnp.maximum(ca[:, :, 0], ca[:, :, 1]),
-                             chi[:, :, 0])
+                             chi[:, :, 1])
+
+
+def _tile_candidates(n: int, mult: int):
+    """Divisors of n that are multiples of ``mult`` (or n itself),
+    largest first."""
+    return sorted({d for d in range(1, n + 1)
+                   if n % d == 0 and (d % mult == 0 or d == n)},
+                  reverse=True)
 
 
 def fused_affine_relu_maxpool(x, scale, bias):
     """x [B,H,W,C] bf16 (a conv output), scale/bias [C] f32 (BN eval
     affine): returns maxpool3x3/2,pad1(relu(x*scale+bias)) as
     [B,H/2,W/2,C] bf16.  H and W must be even (every resnet stem shape
-    is).  The batch-major boundary transposes are bitcasts against the
+    is).  The spatial-major boundary transposes are bitcasts against the
     conv-native {3,0,2,1} layout."""
     b, h, w, c = x.shape
     assert h % 2 == 0 and w % 2 == 0, (h, w)
-    a = jnp.stack([scale, bias]).astype(jnp.float32)
-    x_sm = x.astype(jnp.bfloat16).transpose(1, 2, 0, 3)  # [H, W, B, C]
 
-    # batch tile: multiples of 8 sublanes (or the whole batch); keep
-    # block + padded scratch + output under ~100 MB of the 128 MB VMEM
-    cands = sorted({d for d in range(1, b + 1)
-                    if b % d == 0 and (d % 8 == 0 or d == b)},
-                   reverse=True)
-    tb = cands[-1]
-    for cand in cands:
-        if (2 * h * w + (h + 2) * (w + 2) + h * w // 4) * cand * c * 2 \
-                <= 100 * 1024 * 1024:
+    # fold batch pairs into channels up to a full 128-lane register
+    k = 1
+    if c < 128 and 128 % c == 0:
+        k = min(128 // c, b)
+        while b % k:
+            k -= 1
+    b2, c2 = b // k, c * k
+    a = jnp.stack([jnp.tile(scale, k), jnp.tile(bias, k)]).astype(
+        jnp.float32)
+
+    x_sm = x.astype(jnp.bfloat16).transpose(1, 2, 0, 3)  # [H, W, B, C]
+    x_sm = x_sm.reshape(h, w, b2, c2)
+
+    # sublane tile: one exact 16-row bf16 tile when the folded batch allows
+    tb = next(iter(_tile_candidates(b2, 16)[-1:]))
+    for cand in _tile_candidates(b2, 16):
+        if cand <= 16:
             tb = cand
             break
 
+    # H block: even divisor of H keeping in+scratch+out under ~64 MB VMEM
+    hb = h
+    for cand in sorted(d for d in range(2, h + 1) if h % d == 0 and
+                       d % 2 == 0):
+        byts = ((2 * cand + (cand + 1)) * (w + 1) + cand * w // 2) \
+            * tb * c2 * 2
+        if byts <= 64 * 1024 * 1024:
+            hb = cand
+    grid = (h // hb, b2 // tb)
+
     interpret = jax.default_backend() != "tpu"
-    kernel = functools.partial(_kernel, h=h, w=w, tb=tb, c=c)
+    kernel = functools.partial(_kernel, hb=hb, w=w, tb=tb, c=c2)
     out = pl.pallas_call(
         kernel,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024),
-        grid=(b // tb,),
-        out_shape=jax.ShapeDtypeStruct((h // 2, w // 2, b, c),
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((h // 2, w // 2, b2, c2),
                                        jnp.bfloat16),
         in_specs=[
-            pl.BlockSpec((h, w, tb, c), lambda i: (0, 0, i, 0),
+            pl.BlockSpec((hb, w, tb, c2), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+            # top halo: the last input row of the previous block (dummy
+            # row 0 at i == 0, masked to zeros in-kernel)
+            pl.BlockSpec((1, w, tb, c2),
+                         lambda i, j: (jnp.maximum(i * hb - 1, 0), 0, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((h // 2, w // 2, tb, c),
-                               lambda i: (0, 0, i, 0),
+        out_specs=pl.BlockSpec((hb // 2, w // 2, tb, c2),
+                               lambda i, j: (i, 0, j, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((h + 2, w + 2, tb, c), jnp.bfloat16),
+            pltpu.VMEM((hb + 1, w + 1, tb, c2), jnp.bfloat16),
         ],
-    )(x_sm, a)
-    return out.transpose(2, 0, 1, 3)
+    )(x_sm, x_sm, a)
+    return out.reshape(h // 2, w // 2, b, c).transpose(2, 0, 1, 3)
