@@ -216,11 +216,15 @@ class MMConfig:
 
     # Fused BN-affine+relu+maxpool resnet stem tail
     # (ops/pallas/stem_pool.py): one VMEM pass over the full-res conv1
-    # output instead of the two XLA passes (~0.5 ms of HBM traffic at
-    # bench shapes).  Eval-mode TPU + bf16 activations only; parity-
-    # tested (identical taps; affine rounds at bf16 like the other fused
-    # kernels).  AGPLACE_DISABLE_PALLAS=1 forces the XLA path.
-    stem_pallas: bool = True
+    # output instead of the two XLA passes.  Parity-tested
+    # (tests/test_pallas_stem_pool.py + scripts/hw_parity_stem_pool.py),
+    # but the FULL-forward A/B (scripts/ab_stem.py, BASELINE.md r5 stem
+    # table) measures it a LOSS in context: -3.2% at b32, -12% at b128,
+    # -9.5% in the DB tower — the bev_pallas_head failure mode again
+    # (standalone VMEM win, serialises against work XLA otherwise
+    # overlaps).  Default OFF by that measurement; eval-mode TPU + bf16
+    # only when enabled.  AGPLACE_DISABLE_PALLAS=1 forces the XLA path.
+    stem_pallas: bool = False
 
 
 @dataclass(frozen=True)
@@ -231,7 +235,9 @@ class DBConfig:
     image_fe: str = "resnet18"
     image_fe_layers: Tuple[int, ...] = (2, 2, 2)
     share_dbfe: bool = False  # share one backbone across map types
-    stem_pallas: bool = True  # fused resnet stem tail (see MMConfig)
+    # fused resnet stem tail — default OFF by the full-forward A/B
+    # (-9.5% in this tower at eval b32; see MMConfig.stem_pallas)
+    stem_pallas: bool = False
 
 
 @dataclass(frozen=True)

@@ -105,8 +105,10 @@ class ResNetFeatures(nn.Module):
     dtype: Any = jnp.float32
     # fused BN-affine+relu+maxpool stem tail (ops/pallas/stem_pool.py):
     # one VMEM pass over the full-res conv1 output instead of two XLA
-    # passes (~0.5 ms of HBM traffic at bench shapes).  Engages only in
-    # eval mode on TPU with bf16 activations; parity-tested.
+    # passes.  OPT-IN — the full-forward A/B measures it a loss in
+    # context (BASELINE.md r5 stem table; see config.py stem_pallas).
+    # Engages only in eval mode on TPU with bf16 activations;
+    # parity-tested (tests/test_pallas_stem_pool.py).
     use_pallas_stem: bool = False
 
     @nn.compact

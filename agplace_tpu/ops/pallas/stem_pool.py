@@ -1,15 +1,24 @@
 """Pallas TPU kernel: fused BN-affine + relu + 3x3/2 maxpool (stem tail).
 
+**Ships OFF by default** (``config.py stem_pallas``): the full-forward
+A/B on v5e (``scripts/ab_stem.py``, BASELINE.md r5 stem table) measures
+the kernel a net LOSS in context — MM -3.2% at b32, -12% at b128, DB
+tower -9.5% — the same standalone-win/in-context-serialisation failure
+mode as ``bev_pallas_head`` (the kernel's single grid serialises against
+the voxel-branch HBM traffic XLA otherwise overlaps with the stem's
+epilogue passes).  Kept as an opt-in because the fusion IS the right
+shape for image-only configs on less-overlapped programs; correctness is
+pinned by tests/test_pallas_stem_pool.py (CPU interpret, bitwise vs a
+single-round reference) and scripts/hw_parity_stem_pool.py (on-chip
+float64 oracle).
+
 The ResNet stem (reference ``torchvision resnet.forward`` via
-``network_mm/image_fe.py:14-26``; in-repo ``models/resnet.py:123-127``)
-ends with ``maxpool3x3/2(relu(bn(conv7x7/2(x))))``.  Measured on v5e at
-the bench shape ([32,128,128,64] bf16 conv output), XLA runs the affine+
-relu epilogue and the maxpool as separate full passes over the 64 MB
-activation: conv 0.38 ms -> +epilogue 0.74 ms -> +pool 0.94 ms, i.e.
-~0.55 ms of pure HBM traffic after the conv (BASELINE.md r4 stem table).
-This kernel fuses the three elementwise/window ops into ONE pass that
-reads the conv output once and writes only the pooled [B,H/2,W/2,C]
-quarter-size result.
+``network_mm/image_fe.py:14-26``; in-repo ``models/resnet.py:128-145``)
+ends with ``maxpool3x3/2(relu(bn(conv7x7/2(x))))``.  XLA runs the
+affine+relu epilogue and the maxpool as separate full passes over the
+conv1 output; this kernel fuses the three elementwise/window ops into
+ONE pass that reads the conv output once and writes only the pooled
+[B,H/2,W/2,C] quarter-size result.
 
 Layout (the ops/pallas/bev_block_sm.py finding): operands are presented
 in the SPATIAL-MAJOR logical view [H,W,B,C] whose default layout is the
@@ -35,9 +44,6 @@ Maxpool decomposition (no strided slices, Mosaic-friendly): zero-pad by
 one row/column at the TOP/LEFT only (valid: post-relu values are >= 0,
 so the zero pad behaves as the true ``-inf`` pad), then take the three
 window taps via even/odd phase reshapes of the UNTILED leading dims.
-
-Semantics identical to the XLA path; parity-tested on hardware and CPU
-interpret in tests/test_pallas_stem_pool.py.
 """
 
 from __future__ import annotations
@@ -53,12 +59,18 @@ from jax.experimental.pallas import tpu as pltpu
 def _kernel(x_ref, halo_ref, a_ref, out_ref, pad_ref, *, hb: int, w: int,
             tb: int, c: int):
     bf16 = jnp.bfloat16
-    s = a_ref[0].astype(bf16)
-    b = a_ref[1].astype(bf16)
+    # scale/bias round to bf16 (the module's XLA fallback applies the
+    # effective affine in the activation dtype) but the multiply-add runs
+    # in f32 with ONE final round — the fma XLA:TPU emits for the same
+    # bf16 epilogue (hw-measured 4x tighter vs the float64 oracle than a
+    # bf16*bf16+bf16 double-round; see tests/test_pallas_stem_pool.py).
+    s = a_ref[0].astype(bf16).astype(jnp.float32)
+    b = a_ref[1].astype(bf16).astype(jnp.float32)
 
     def aff(v):
-        return jnp.maximum(v * s[None, None, None, :]
-                           + b[None, None, None, :], 0)
+        return jnp.maximum(
+            v.astype(jnp.float32) * s[None, None, None, :]
+            + b[None, None, None, :], 0).astype(bf16)
 
     # pad_ref [hb+1, W+1, TB, C]: row 0 = previous block's last input row
     # (the top halo; the global zero pad at block 0), col 0 = left zero pad.
