@@ -15,6 +15,15 @@ Two batch sizes are measured every run (VERDICT r3 item 1):
 the documented estimate of the PyTorch reference on its own RTX-4090-class
 hardware (the repo publishes no numbers; see BASELINE.md).  The north-star is
 vs_baseline >= 5.
+
+Every measurement is repeated REPEATS times (r5, VERDICT r4 item 3): the
+headline uses the MEDIAN and the JSON carries per-repeat spread so a
+cross-run discrepancy can be classified as regression vs host noise.
+
+``--ab flag1,flag2`` mode: A/B each named MMConfig boolean in the FULL
+forward at both batch sizes in one run (e.g.
+``python bench.py --ab stem_pallas,bev_pallas``); prints one JSON line of
+per-flag numbers instead of the headline.
 """
 
 from __future__ import annotations
@@ -36,6 +45,7 @@ WARMUP = 2
 INNER = 10  # on-device chained iterations per dispatch (amortises the
 # ~0.45 ms/dispatch tunnel RPC artifact; see BASELINE.md r3 notes)
 ITERS = 6
+REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 
 
 def _inputs(batch, cfg, jnp, jax):
@@ -66,7 +76,8 @@ def _inputs(batch, cfg, jnp, jax):
 
 
 def _measure(mm, variables, images, vox, jax, jnp):
-    """ms per forward, via an in-jit fori_loop chain drained once.
+    """Per-forward seconds, REPEATS independent measurements (sorted),
+    each an in-jit fori_loop chain drained once.
 
     Inputs must differ per iteration and completion must be forced by a
     host fetch — some remote-attached backends memoise identical
@@ -92,11 +103,51 @@ def _measure(mm, variables, images, vox, jax, jnp):
     for _ in range(WARMUP):
         y = step(y)
     float(y)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        y = step(y)
-    float(y)  # forces the whole chain
-    return (time.perf_counter() - t0) / (ITERS * INNER)
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            y = step(y)
+        float(y)  # forces the whole chain
+        times.append((time.perf_counter() - t0) / (ITERS * INNER))
+    return sorted(times)
+
+
+def _median(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else 0.5 * (xs[n // 2 - 1] + xs[n // 2])
+
+
+def _ab_main(flags) -> None:
+    """--ab mode: per-flag full-model A/B at both batch sizes."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from agplace_tpu.config import kitti360_config
+    from agplace_tpu.models.mm import MM
+
+    cfg = kitti360_config()
+    out = {"mode": "ab", "repeats": REPEATS}
+    for batch in (32, 128):
+        images, vox = _inputs(batch, cfg, jnp, jax)
+        for flag in flags:
+            for setting in (False, True):
+                mmcfg = dataclasses.replace(cfg.model.mm, **{flag: setting})
+                mm = MM(config=mmcfg, train=False, dtype=jnp.bfloat16)
+                variables = jax.jit(mm.init)(
+                    jax.random.PRNGKey(0), images, vox)
+                times = _measure(mm, variables, images, vox, jax, jnp)
+                key = f"b{batch}_{flag}_{'on' if setting else 'off'}"
+                out[key] = {
+                    "ms_median": round(_median(times) * 1e3, 3),
+                    "desc_per_s": round(batch / _median(times), 1),
+                    "ms_all": [round(t * 1e3, 3) for t in times],
+                }
+                print(key, out[key], file=sys.stderr)
+    print(json.dumps(out))
 
 
 def main() -> None:
@@ -114,13 +165,19 @@ def main() -> None:
     # throughput already IS per-chip — dividing by jax.device_count()
     # would under-report n-fold on a multi-chip host
     per_batch = {}
+    spreads = {}
     variables = None
     for batch in (32, 128):
         images, vox = _inputs(batch, cfg, jnp, jax)
         if variables is None:
             variables = jax.jit(mm.init)(jax.random.PRNGKey(0), images, vox)
-        dt = _measure(mm, variables, images, vox, jax, jnp)
-        per_batch[batch] = batch / dt
+        times = _measure(mm, variables, images, vox, jax, jnp)
+        per_batch[batch] = batch / _median(times)
+        spreads[batch] = {
+            "ms_min": round(times[0] * 1e3, 3),
+            "ms_median": round(_median(times) * 1e3, 3),
+            "ms_max": round(times[-1] * 1e3, 3),
+        }
     value = per_batch[128]
 
     # achieved FLOPs/s vs v5e bf16 peak (197 TFLOP/s), from XLA's own cost
@@ -165,8 +222,14 @@ def main() -> None:
         "b32_desc_per_sec": round(per_batch[32], 2),
         "vs_baseline_b32": round(per_batch[32] / BASELINE_DESC_PER_SEC, 3),
         "mfu": round(mfu, 4),
+        "repeats": REPEATS,
+        "b32_ms": spreads[32],
+        "b128_ms": spreads[128],
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--ab":
+        _ab_main([f.strip() for f in sys.argv[2].split(",") if f.strip()])
+    else:
+        main()
