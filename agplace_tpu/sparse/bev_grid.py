@@ -742,8 +742,14 @@ class BEVMinkFPN(nn.Module):
                 laterals.append(g)
             out_maps.append(g)
 
+        # mask_output=False is EXACT for a bias-free 1x1 stride-1 conv of a
+        # masked input: the folded k=1 kernel is z-diagonal, so every
+        # unoccupied (site, z) stays w.0 = 0 — the explicit mask multiply
+        # was a redundant full pass over the map (measured 0.33 -> ~0.1 ms
+        # at b32 bench shapes; the z-broadcast mask is the one epilogue
+        # XLA:TPU cannot fuse, BASELINE.md r4/r5 probes)
         g = BEVConv(self.out_channels, kernel_size=1, compute_dtype=cdt,
-                    name="lateral_top")(g)
+                    mask_output=False, name="lateral_top")(g)
         out_maps[-1] = g
 
         for ndx in range(self.num_top_down):
