@@ -320,3 +320,22 @@ def test_mm_accepts_host_rasterized_grid():
     d_sv = np.asarray(mm_drop.apply(v, imgs, sv)["embedding"])
     d_grid = np.asarray(mm_drop.apply(v, imgs, grid)["embedding"])
     np.testing.assert_allclose(d_sv, d_grid, rtol=1e-5, atol=1e-6)
+
+
+def test_fpn_final_map_zero_at_unoccupied():
+    """lateral_top runs with mask_output=False (r5: the explicit mask was
+    a redundant full HBM pass) — valid ONLY because a bias-free 1x1
+    stride-1 conv of a masked input is zero at every unoccupied (site, z)
+    by arithmetic.  Pin that invariant so a future bias/activation change
+    to the lateral can't silently leak unmasked values."""
+    g = _grid(seed=9, extent=(16, 16, 4))
+    kw = dict(out_channels=32, planes=(8, 16, 32), layers=(1, 1, 1),
+              num_top_down=0, conv0_kernel_size=5, block="eca", train=False)
+    bev = BEVMinkFPN(**kw)
+    v = bev.init(jax.random.PRNGKey(2), fold(g))
+    out_b, maps_b = bev.apply(v, fold(g))
+    feats = np.asarray(out_b.feats, np.float32)
+    c = feats.shape[-1] // out_b.z
+    mexp = np.repeat(np.asarray(out_b.mask, np.float32), c, axis=-1)
+    assert np.all(feats * (1.0 - mexp) == 0.0)
+    assert np.asarray(out_b.mask).any()  # non-degenerate
