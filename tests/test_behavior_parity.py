@@ -143,3 +143,31 @@ def test_squeezenet_image_fe():
         assert out.shape[-1] == 256
         assert ImageFE.last_dim(fe, (2, 2, 2)) == 256
         assert np.isfinite(np.asarray(out)).all()
+
+
+def test_bf16_staged_images_are_bitwise_identical():
+    """The serving input pipeline may stage images in the compute dtype
+    (bench.py r5): the model's first conv casts to bf16 at exactly that
+    point anyway, so host-cast bf16 inputs must produce BITWISE-identical
+    descriptors to f32 inputs.  Pins the identity the bf16 staging relies
+    on."""
+    from agplace_tpu.models.mm import MM
+    from agplace_tpu.sparse.bev_grid import rasterize_from_voxels_host
+    from agplace_tpu.sparse.voxels import batched_from_pointclouds
+
+    cfg = synthetic_config(batch_size=2, image_size=32, vox_max_points=128)
+    rng = np.random.default_rng(0)
+    images = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    pts = rng.uniform(-20, 20, (2, 500, 3)).astype(np.float32)
+    sv = batched_from_pointclouds(pts, cfg.data.quant_size, 128)
+    vox = jax.tree_util.tree_map(
+        jnp.asarray,
+        rasterize_from_voxels_host(sv, cfg.model.mm.vox_grid_extent))
+
+    mm = MM(config=cfg.model.mm, train=False, dtype=jnp.bfloat16)
+    v = jax.jit(mm.init)(jax.random.PRNGKey(0), jnp.asarray(images), vox)
+    e32 = jax.jit(lambda v, im, vx: mm.apply(v, im, vx)["embedding"])(
+        v, jnp.asarray(images, jnp.float32), vox)
+    e16 = jax.jit(lambda v, im, vx: mm.apply(v, im, vx)["embedding"])(
+        v, jnp.asarray(images, jnp.bfloat16), vox)
+    np.testing.assert_array_equal(np.asarray(e32), np.asarray(e16))

@@ -161,6 +161,7 @@ def test_serve_entry_http_node_search(tmp_path):
                 p.kill()
 
 
+@pytest.mark.slow
 def test_bringup_smoke_loud_skip_and_random_path(tmp_path):
     """scripts/bringup_smoke.py (RUNBOOK step 2.5): without a weight
     source it must fail LOUDLY with the fetch instructions (exit 2), and
