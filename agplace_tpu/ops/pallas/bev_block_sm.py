@@ -136,6 +136,42 @@ def _block_kernel(x_ref, mt_ref, w1_ref, w2_ref, a1_ref, a2_ref, we_ref,
     out_ref[:] = jnp.maximum(out, 0) * mzc
 
 
+def _pick_tb(b: int, xdim: int, ydim: int, zmax: int) -> int:
+    """Batch tile: Mosaic needs the sublane block dim divisible by 8 (or
+    equal to the full array dim); largest candidate whose input block
+    stays under ~8.5 MB, else the smallest legal one."""
+    cands = sorted({d for d in range(1, b + 1)
+                    if b % d == 0 and (d % 8 == 0 or d == b)},
+                   reverse=True)
+    tb = cands[-1]
+    for cand in cands:
+        if xdim * ydim * cand * zmax * 2 <= 8.5 * 1024 * 1024:
+            tb = cand
+            break
+    return tb
+
+
+def sm_block_vmem_ok(b: int, xdim: int, ydim: int, zci: int,
+                     zco: int) -> bool:
+    """Whether the kernel's per-step VMEM footprint fits at this shape.
+
+    The kernel holds, per grid step: double-buffered in/out blocks, two
+    halo-pad scratches, and the f32 conv accumulator + h + mzc SSA values
+    (these spill to VMEM at block sizes).  At z-extent 8 shapes (nuScenes:
+    zci=zco=256 at 64x64) the total exceeds scoped VMEM and XLA aborts
+    with 80 MB of register-allocator spills — the caller must take the
+    XLA path instead.  Budget 110 MB: the proven-working KITTI shapes sit
+    at ~85 MB, the failing nuScenes block0 at ~170 MB."""
+    tb = _pick_tb(b, xdim, ydim, max(zci, zco))
+    xy = xdim * ydim
+    est = tb * (
+        xy * (2 * zci + 2 * zco) * 2                 # in/out, double-buffered
+        + (xdim + 2) * (ydim + 2) * (zci + zco) * 2  # halo-pad scratches
+        + xy * zco * (4 + 2 + 2)                     # f32 acc + h + mzc
+    )
+    return est <= 110 * 1024 * 1024
+
+
 def fused_eca_block_sm(x, mask, w1, w2, scale1, bias1, scale2, bias2,
                        w_eca, z: int, wd=None, scale_d=None, bias_d=None,
                        tb: int = None):
@@ -173,23 +209,10 @@ def fused_eca_block_sm(x, mask, w1, w2, scale1, bias1, scale2, bias2,
     w1f = w1.astype(jnp.bfloat16).reshape(9, zci, zco)
     w2f = w2.astype(jnp.bfloat16).reshape(9, zco, zco)
 
-    # batch tile: Mosaic needs the sublane block dim divisible by 8 (or
-    # equal to the full array dim), so candidates are divisors of B that
-    # are multiples of 8, plus B itself; take the largest whose block
-    # stays under ~8.5 MB (blocks + halo scratches + f32 SSA values must
-    # fit scoped VMEM), else the smallest legal one.
-    zmax = max(zci, zco)
-    cands = sorted({d for d in range(1, b + 1)
-                    if b % d == 0 and (d % 8 == 0 or d == b)},
-                   reverse=True)
     if tb is None:
-        tb = cands[-1]
-        for cand in cands:
-            if xdim * ydim * cand * zmax * 2 <= 8.5 * 1024 * 1024:
-                tb = cand
-                break
+        tb = _pick_tb(b, xdim, ydim, max(zci, zco))
     else:
-        assert tb in cands, (tb, cands)
+        assert b % tb == 0 and (tb % 8 == 0 or tb == b), (tb, b)
 
     interpret = jax.default_backend() != "tpu"
     kernel = functools.partial(_block_kernel, xdim=xdim, ydim=ydim, tb=tb,

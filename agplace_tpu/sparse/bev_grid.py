@@ -456,19 +456,26 @@ class BEVECABasicBlock(nn.Module):
         # unfused block is elementwise-bandwidth-bound (~1.74 ms at the
         # bench stage-0 shapes vs 0.88 ms fused); eval-mode TPU only —
         # training and CPU run the XLA path below (parity-tested).
+        # spatial-major formulation (ops/pallas/bev_block_sm.py): its
+        # boundary transposes are bitcasts against the conv-native
+        # {3,0,2,1} layout, avoiding the relayout copies that made the
+        # r3 batch-major kernel (ops/pallas/bev_block.py) in-context
+        # neutral despite being 2x faster standalone.  Channel-change
+        # blocks ride the same kernel via its fused 1x1 downsample
+        # residual path.  sm_block_vmem_ok gates out shapes whose per-step
+        # footprint exceeds scoped VMEM (z-extent-8 configs: nuScenes) —
+        # those take the XLA path below (r5 crash fix).
+        from agplace_tpu.ops.pallas.bev_block_sm import (
+            fused_eca_block_sm,
+            sm_block_vmem_ok,
+        )
+
         if (self.use_pallas and not self.train
                 and not self.is_initializing()
-                and _pallas_backend_ok()):
-            # spatial-major formulation (ops/pallas/bev_block_sm.py): its
-            # boundary transposes are bitcasts against the conv-native
-            # {3,0,2,1} layout, avoiding the relayout copies that made the
-            # r3 batch-major kernel (ops/pallas/bev_block.py) in-context
-            # neutral despite being 2x faster standalone.  Channel-change
-            # blocks ride the same kernel via its fused 1x1 downsample
-            # residual path.
-            from agplace_tpu.ops.pallas.bev_block_sm import \
-                fused_eca_block_sm
-
+                and _pallas_backend_ok()
+                and sm_block_vmem_ok(g.feats.shape[0], g.feats.shape[1],
+                                     g.feats.shape[2], cin * g.z,
+                                     cout * g.z)):
             w1f = fold_w2_stride1(k1, g.z)
             w2f = fold_w2_stride1(k2, g.z)
             s1, b1 = _bn_eval_affine(bn1, g.z)

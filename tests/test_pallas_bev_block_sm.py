@@ -97,3 +97,46 @@ def test_block_module_pallas_path_routes_to_sm(monkeypatch):
     out_ref = np.asarray(ref.apply(vs, g).feats, np.float32)
     out_fus = np.asarray(fus.apply(vs, g).feats, np.float32)
     np.testing.assert_allclose(out_fus, out_ref, rtol=2e-2, atol=2e-2)
+
+
+def test_vmem_gate_rejects_z8_shapes_and_routes_to_xla(monkeypatch):
+    """r5 crash fix: at z-extent-8 shapes (nuScenes block0: 256 folded
+    channels at 64x64xB32) the sm kernel's per-step footprint exceeds
+    scoped VMEM and XLA aborts with register spills.  The gate must
+    reject those shapes (module falls back to the XLA path) and keep
+    accepting the proven KITTI shapes."""
+    from agplace_tpu.ops.pallas.bev_block_sm import sm_block_vmem_ok
+
+    # proven-working KITTI bench shapes
+    assert sm_block_vmem_ok(32, 64, 64, 128, 128)   # block0, z=2 c=64
+    assert sm_block_vmem_ok(32, 32, 32, 256, 256)   # stage1, z=2 c=128
+    # the nuScenes z=8 block0 shape that OOM'd on hardware
+    assert not sm_block_vmem_ok(32, 64, 64, 256, 256)
+
+    # module-level: an oversized shape with use_pallas=True must run the
+    # XLA path (identical outputs, no kernel invocation)
+    monkeypatch.setattr(bev_grid, "_pallas_backend_ok", lambda: True)
+
+    def boom(*a, **k):  # the kernel must NOT be called at this shape
+        raise AssertionError("sm kernel invoked past the VMEM gate")
+
+    import agplace_tpu.ops.pallas.bev_block_sm as sm_mod
+    monkeypatch.setattr(sm_mod, "fused_eca_block_sm", boom)
+
+    rng = np.random.default_rng(2)
+    b, xy, z, c = 4, 16, 8, 32  # zci = zco = 256 at a CPU-friendly size
+    # force the gate shut regardless of the small test extent
+    monkeypatch.setattr(sm_mod, "sm_block_vmem_ok",
+                        lambda *a: False)
+    mask = jnp.asarray(rng.random((b, xy, xy, z)) < 0.4)
+    feats = jnp.asarray(rng.standard_normal((b, xy, xy, z * c)),
+                        jnp.float32)
+    feats = (feats * jnp.repeat(mask.astype(feats.dtype), c, axis=-1)
+             ).astype(jnp.bfloat16)
+    g = BEVGrid(feats=feats, mask=mask, z=z, stride=1)
+    ref = BEVECABasicBlock(c, train=False, use_pallas=False)
+    fus = BEVECABasicBlock(c, train=False, use_pallas=True)
+    vs = ref.init(jax.random.PRNGKey(0), g)
+    out_ref = np.asarray(ref.apply(vs, g).feats, np.float32)
+    out_fus = np.asarray(fus.apply(vs, g).feats, np.float32)
+    np.testing.assert_array_equal(out_fus, out_ref)
